@@ -1,0 +1,22 @@
+"""data_quality_spark — a PySpark-native code-corpus quality-filter engine.
+
+Built from scratch against the *semantics* of the reference repo
+``data-eng/data_quality`` (see SURVEY.md): per-row quality scoring
+(annotator agreement, /root/reference/annotator_agreement/measure.py:3-33),
+bucket statistics (/root/reference/runme.py:17-36), binarized quality labels
+and windowed label datasets (/root/reference/timeseries/eeg_datasets.py:36-102),
+re-expressed as a lazy, columnar, Arrow-vectorized Spark pipeline over a
+source-code file table ``(repo, path, commit, lang, content)``:
+
+- language-ID (fastText-style hashed char-n-gram linear model, pandas UDF)
+- n-gram perplexity (KenLM-style char-bigram LM, pandas UDF)
+- heuristic keep/drop rules (pure Column expressions, codegen'd)
+- regex PII/toxicity scrubbing (single-engine, bit-exact idempotent)
+- explicit repo-hash partitioning + salting, per-partition checkpoint,
+  lineage + metrics tables, resumable runs
+
+Zero per-row Python on the hot path: every Python computation crosses the
+JVM boundary through Arrow batches (``pandas_udf`` / ``mapInPandas``).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,49 @@
+"""Inter-annotator agreement scoring as pure Column expressions.
+
+Exact re-expression of the reference's per-row Python loop
+(/root/reference/annotator_agreement/measure.py:3-33) as codegen'd Spark
+Column arithmetic — semantics copied verbatim:
+
+- ``ground_truth == -1``  → score 0.0                 (measure.py:23)
+- squared-error sum over the 3 annotator labels       (measure.py:25-26)
+- sqerr 0 → 1.0, 1 → 0.5, else → 0.2                  (measure.py:28-30)
+
+Bucketing copies /root/reference/runme.py:29-31 exactly: strict
+inequalities, boundaries 0.75 / 0.25 fall in "Mid". Binarization copies
+/root/reference/timeseries/eeg_datasets.py:65: label 1 iff score == 1.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def agreement_score(
+    a1: Column, a2: Column, a3: Column, ground_truth: Column
+) -> Column:
+    sqerr = (
+        (a1 - ground_truth) * (a1 - ground_truth)
+        + (a2 - ground_truth) * (a2 - ground_truth)
+        + (a3 - ground_truth) * (a3 - ground_truth)
+    )
+    return (
+        F.when(ground_truth == -1, F.lit(0.0))
+        .when(sqerr == 0, F.lit(1.0))
+        .when(sqerr == 1, F.lit(0.5))
+        .otherwise(F.lit(0.2))
+    )
+
+
+def quality_bucket(score: Column) -> Column:
+    """Good iff s > 0.75, Bad iff s < 0.25, else Mid (runme.py:29-31)."""
+    return (
+        F.when(score > 0.75, F.lit("Good"))
+        .when(score < 0.25, F.lit("Bad"))
+        .otherwise(F.lit("Mid"))
+    )
+
+
+def binarize(score: Column) -> Column:
+    """1 iff score == 1.0 exactly (eeg_datasets.py:65)."""
+    return (score == 1.0).cast("int")

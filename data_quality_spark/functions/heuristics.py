@@ -1,0 +1,76 @@
+"""Heuristic quality rules as pure Column expressions (JVM-side, codegen'd).
+
+These are the "would training be better off without this row" heuristics
+(reference framing: /root/reference/README.md:8-11) for source-code text:
+line-length stats, alphanumeric fraction, duplicate-line ratio, length
+bounds. Everything here stays inside WholeStageCodegen — no Python, no
+shuffle; Catalyst can push the resulting predicates into the scan.
+
+Duplicate-line ratio mirrors the reference's all-clean-window rule
+(/root/reference/timeseries/eeg_datasets.py:78): a file dominated by
+repeated boilerplate lines is "not all-clean" and gets dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ALNUM_RE = "[^a-zA-Z0-9]"  # ASCII classes — identical in Java and Python regex
+
+
+def lines_col(content: Column) -> Column:
+    return F.split(content, "\n")
+
+
+def n_chars(content: Column) -> Column:
+    return F.length(content)
+
+
+def n_lines(content: Column) -> Column:
+    return F.size(lines_col(content))
+
+
+def max_line_len(content: Column) -> Column:
+    return F.coalesce(
+        F.array_max(F.transform(lines_col(content), F.length)), F.lit(0)
+    )
+
+
+def avg_line_len(content: Column) -> Column:
+    # mean over line lengths (not n_chars/n_lines: excludes the \n bytes)
+    ll = F.transform(lines_col(content), F.length)
+    return F.aggregate(
+        ll, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ) / F.greatest(F.size(ll), F.lit(1)).cast("double")
+
+
+def alnum_frac(content: Column) -> Column:
+    stripped = F.length(F.regexp_replace(content, ALNUM_RE, ""))
+    return stripped.cast("double") / F.greatest(
+        F.length(content), F.lit(1)
+    ).cast("double")
+
+
+def dup_line_ratio(content: Column) -> Column:
+    """1 - distinct/total over lines; 0 for empty docs."""
+    ls = lines_col(content)
+    return F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double") / F.greatest(
+        F.size(ls), F.lit(1)
+    ).cast("double")
+
+
+def with_heuristics(df, content_col: str = "content"):
+    """Attach all heuristic feature columns in one select (single projection,
+    no shuffle, fully pushdown-compatible)."""
+    c = F.col(content_col)
+    return df.withColumns(
+        {
+            "n_chars": n_chars(c),
+            "n_lines": n_lines(c),
+            "max_line_len": max_line_len(c),
+            "avg_line_len": avg_line_len(c),
+            "alnum_frac": alnum_frac(c),
+            "dup_line_ratio": dup_line_ratio(c),
+        }
+    )

@@ -1,0 +1,53 @@
+"""Regex PII/toxicity scrubbing — single-engine, bit-exact.
+
+Rules are defined in Python ``re`` syntax and applied with Python ``re`` in
+BOTH the Spark path (vectorized pandas UDF over Arrow batches) and the
+single-process oracle. One regex engine end-to-end means the sha256-equality
+invariant for untouched rows (BASELINE.json input_hint) cannot be broken by
+Java-vs-Python regex divergence — Spark's ``regexp_replace`` (Java regex)
+is deliberately NOT used for the scrub itself.
+
+Pattern order is fixed; the chain is idempotent (replacement tokens match no
+pattern).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+# (name, compiled pattern, replacement) — order matters and is frozen.
+SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
+    (
+        "email",
+        re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+        "<EMAIL>",
+    ),
+    ("aws_key", re.compile(r"AKIA[0-9A-Z]{16}"), "<AWS_KEY>"),
+    ("hex_secret", re.compile(r"\b[0-9a-f]{40,64}\b"), "<SECRET>"),
+    (
+        "toxicity",
+        re.compile(r"\b(dammit|crappy|jackass)\b", re.IGNORECASE),
+        "<FLAGGED>",
+    ),
+]
+
+SCRUB_RULES_VERSION = "scrub-v1"
+
+
+def scrub_series(content: pd.Series) -> pd.Series:
+    """Apply the full rule chain to a pandas Series of strings (C-loop via
+    pandas str.replace; the same function runs inside the Spark pandas UDF
+    and the oracle)."""
+    out = content.astype("string").fillna("")
+    for _name, pat, repl in SCRUB_RULES:
+        out = out.str.replace(pat, repl, regex=True)
+    return out.astype(object)
+
+
+def scrub_text(text: str) -> str:
+    """Single-string convenience (tests)."""
+    for _name, pat, repl in SCRUB_RULES:
+        text = pat.sub(repl, text)
+    return text

@@ -1,0 +1,83 @@
+"""Arrow-vectorized pandas UDFs — the only Python on the Spark hot path.
+
+Each UDF wraps a numpy core from ``models.py`` / ``scrub.py``. Model weights
+are materialized on the driver once and captured in the UDF closure, so each
+executor deserializes them once per python worker (the broadcast-artifact
+pattern: langid weight matrix ~100 KB, bigram table ~256 KB).
+
+Plan check: these appear as ``ArrowEvalPython`` in ``df.explain()`` — never
+``BatchEvalPython`` (the per-row path). ``tests/test_pipeline.py`` asserts
+that.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import models as M
+from .scrub import scrub_series
+
+_MODEL_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("langid_label", T.StringType()),
+        T.StructField("langid_score", T.DoubleType()),
+        T.StructField("perplexity", T.DoubleType()),
+        T.StructField("entropy", T.DoubleType()),
+    ]
+)
+
+
+def make_model_features_udf():
+    """One UDF computing all model-based per-doc features in a single Arrow
+    pass (one JVM↔Python round-trip instead of three)."""
+    langid = M.get_langid_model()
+    bigram = M.get_bigram_lm()
+
+    @F.pandas_udf(_MODEL_FEATURES_TYPE)
+    def model_features(content: pd.Series) -> pd.DataFrame:
+        texts = content.fillna("").tolist()
+        labels, scores = langid.predict(texts)
+        ppl = bigram.perplexity(texts)
+        ent = M.byte_entropy(texts)
+        return pd.DataFrame(
+            {
+                "langid_label": labels,
+                "langid_score": scores,
+                "perplexity": ppl,
+                "entropy": ent,
+            }
+        )
+
+    return model_features
+
+
+def make_scrub_udf():
+    @F.pandas_udf(T.StringType())
+    def scrub(content: pd.Series) -> pd.Series:
+        return scrub_series(content)
+
+    return scrub
+
+
+def make_langid_udf():
+    """Standalone langid (label only) — for queries that don't need the rest."""
+    langid = M.get_langid_model()
+
+    @F.pandas_udf(T.StringType())
+    def langid_label(content: pd.Series) -> pd.Series:
+        labels, _ = langid.predict(content.fillna("").tolist())
+        return pd.Series(labels)
+
+    return langid_label
+
+
+def make_perplexity_udf():
+    bigram = M.get_bigram_lm()
+
+    @F.pandas_udf(T.DoubleType())
+    def perplexity(content: pd.Series) -> pd.Series:
+        return pd.Series(bigram.perplexity(content.fillna("").tolist()))
+
+    return perplexity

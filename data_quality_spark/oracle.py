@@ -1,0 +1,80 @@
+"""Single-process pandas/numpy oracle — the "reference labels".
+
+Implements the identical rule semantics as the Spark pipeline, eagerly, in
+one process (the reference's own execution style: eager, row-oriented,
+single-process — /root/reference/runme.py). The F1≥0.99 gate
+(BASELINE.json) compares Spark labels against these. The model cores
+(models.py) and scrub chain (scrub.py) are shared by construction; the
+heuristic columns are re-derived here independently with pandas string ops
+so the test exercises two implementations of the same spec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import rules as R
+from .functions import models as M
+from .functions.scrub import scrub_series
+
+
+def heuristic_features(content: pd.Series) -> pd.DataFrame:
+    s = content.fillna("")
+    lines = s.str.split("\n")
+    line_lens = lines.map(lambda ls: [len(x) for x in ls])
+    n_chars = s.str.len().astype("int64")
+    n_lines = lines.map(len).astype("int64")
+    max_line_len = line_lens.map(lambda ls: max(ls) if ls else 0).astype("int64")
+    avg_line_len = line_lens.map(lambda ls: sum(ls) / max(len(ls), 1)).astype(
+        "float64"
+    )
+    alnum = s.str.count(r"[a-zA-Z0-9]").astype("float64")
+    alnum_frac = alnum / np.maximum(n_chars.to_numpy(), 1)
+    dup_line_ratio = 1.0 - lines.map(lambda ls: len(set(ls)) / max(len(ls), 1))
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_lines": n_lines,
+            "max_line_len": max_line_len,
+            "avg_line_len": avg_line_len,
+            "alnum_frac": alnum_frac,
+            "dup_line_ratio": dup_line_ratio,
+        }
+    )
+
+
+def label_files(files: pd.DataFrame) -> pd.DataFrame:
+    """→ input + features + langid/ppl/entropy + drop_reasons/keep + scrub."""
+    out = files.reset_index(drop=True).copy()
+    feats = heuristic_features(out["content"])
+    for c in feats.columns:
+        out[c] = feats[c]
+    texts = out["content"].fillna("").tolist()
+    labels, scores = M.get_langid_model().predict(texts)
+    out["langid_label"] = labels
+    out["langid_score"] = scores
+    out["perplexity"] = M.get_bigram_lm().perplexity(texts)
+    out["entropy"] = M.byte_entropy(texts)
+
+    fails = {
+        "too_short": out.n_chars < R.MIN_CHARS,
+        "too_long": out.n_chars > R.MAX_CHARS,
+        "long_lines": out.max_line_len > R.MAX_LINE_LEN,
+        "avg_line": out.avg_line_len > R.MAX_AVG_LINE_LEN,
+        "low_alnum": out.alnum_frac < R.MIN_ALNUM_FRAC,
+        "dup_lines": (out.dup_line_ratio > R.MAX_DUP_LINE_RATIO)
+        & (out.n_lines >= R.DUP_RULE_MIN_LINES),
+        "low_entropy": out.entropy < R.MIN_ENTROPY,
+        "langid_junk": out.langid_label == "junk",
+        "perplexity": out.perplexity > R.MAX_PERPLEXITY,
+    }
+    assert list(fails) == R.RULE_NAMES
+    reason_mat = pd.DataFrame(fails)
+    out["drop_reasons"] = reason_mat.apply(
+        lambda r: [n for n in R.RULE_NAMES if r[n]], axis=1
+    )
+    out["keep"] = ~reason_mat.any(axis=1)
+    out["scrubbed_content"] = scrub_series(out["content"])
+    out["was_modified"] = out["scrubbed_content"] != out["content"].fillna("")
+    return out

@@ -1,0 +1,81 @@
+"""The flagship quality-filter pipeline, as one lazy DataFrame chain.
+
+Spark re-expression of the reference's `runme:main` lifecycle
+(/root/reference/runme.py:44-58: load → features → quality → stats → frame),
+over the code-file table:
+
+    read → heuristics (Column exprs) → model features (one ArrowEvalPython)
+         → keep/drop decision (Column exprs) → scrub (ArrowEvalPython)
+         → [write keep/drop + scrubbed content] + metrics aggregation
+
+Stage boundaries: the whole per-row part is a single narrow stage (no
+shuffle); only the metrics groupBy shuffles — and it aggregates partially
+map-side. At 10^12-row scale the same plan holds; partition-level
+orchestration lives in plans/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import rules as R
+from ..functions.heuristics import with_heuristics
+from ..functions.udfs import make_model_features_udf, make_scrub_udf
+
+OUTPUT_COLUMNS = [
+    "repo",
+    "path",
+    "commit",
+    "lang",
+    "content",
+    "n_chars",
+    "n_lines",
+    "max_line_len",
+    "avg_line_len",
+    "alnum_frac",
+    "dup_line_ratio",
+    "langid_label",
+    "langid_score",
+    "perplexity",
+    "entropy",
+    "drop_reasons",
+    "keep",
+    "scrubbed_content",
+    "was_modified",
+]
+
+
+def score_files(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach every per-row quality column. Narrow-only: zero shuffles."""
+    model_features = make_model_features_udf()
+    scrub = make_scrub_udf()
+    # normalize NULL content to '' (oracle does fillna("")) so length rules
+    # and was_modified never go three-valued
+    files = files.withColumn(content_col, F.coalesce(F.col(content_col), F.lit("")))
+    df = with_heuristics(files, content_col)
+    df = df.withColumn("_mf", model_features(F.col(content_col)))
+    df = df.select("*", "_mf.*").drop("_mf")
+    df = R.with_decision(df)
+    df = df.withColumn("scrubbed_content", scrub(F.col(content_col)))
+    df = df.withColumn(
+        "was_modified", F.col("scrubbed_content") != F.col(content_col)
+    )
+    return df
+
+
+def quality_stats(scored: DataFrame) -> DataFrame:
+    """The Spark form of quality_stats.json (/root/reference/runme.py:17-36):
+    counts per keep-bucket + per drop reason. One hash-aggregate shuffle with
+    map-side partials."""
+    by_keep = scored.groupBy("keep").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("was_modified").cast("long")).alias("n_modified"),
+        F.avg("perplexity").alias("avg_perplexity"),
+    )
+    by_reason = (
+        scored.select(F.explode_outer("drop_reasons").alias("reason"))
+        .groupBy("reason")
+        .count()
+    )
+    return by_keep, by_reason

@@ -1,0 +1,66 @@
+"""Frozen keep/drop rule thresholds + the rule-combination logic.
+
+``keep`` = every rule passes — the code-corpus analogue of the reference's
+all-clean-window rule (/root/reference/timeseries/eeg_datasets.py:78: a
+window is clean iff *every* epoch in it is clean). ``drop_reasons`` lists
+the failed rules, for the metrics table.
+
+Thresholds were calibrated once on the seeded strata (corpus.py) and are
+frozen — they are part of the pipeline version (RULES_VERSION), recorded in
+lineage so a threshold change is visible as a new version, never a silent
+label shift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+RULES_VERSION = "rules-v1"
+
+MIN_CHARS = 16
+MAX_CHARS = 1_000_000
+MAX_LINE_LEN = 2000
+MAX_AVG_LINE_LEN = 300.0
+MIN_ALNUM_FRAC = 0.25
+MAX_DUP_LINE_RATIO = 0.70
+DUP_RULE_MIN_LINES = 10  # dup ratio only meaningful with enough lines
+MIN_ENTROPY = 2.0  # bits/byte
+MAX_PERPLEXITY = 200.0
+
+# (rule_name, fn: row-cols -> boolean Column that is TRUE when the rule FAILS)
+RULE_FAILS = [
+    ("too_short", lambda: F.col("n_chars") < MIN_CHARS),
+    ("too_long", lambda: F.col("n_chars") > MAX_CHARS),
+    ("long_lines", lambda: F.col("max_line_len") > MAX_LINE_LEN),
+    ("avg_line", lambda: F.col("avg_line_len") > MAX_AVG_LINE_LEN),
+    ("low_alnum", lambda: F.col("alnum_frac") < MIN_ALNUM_FRAC),
+    (
+        "dup_lines",
+        lambda: (F.col("dup_line_ratio") > MAX_DUP_LINE_RATIO)
+        & (F.col("n_lines") >= DUP_RULE_MIN_LINES),
+    ),
+    ("low_entropy", lambda: F.col("entropy") < MIN_ENTROPY),
+    ("langid_junk", lambda: F.col("langid_label") == "junk"),
+    ("perplexity", lambda: F.col("perplexity") > MAX_PERPLEXITY),
+]
+
+RULE_NAMES = [name for name, _ in RULE_FAILS]
+
+
+def with_decision(df):
+    """Attach ``drop_reasons array<string>`` and ``keep boolean``.
+
+    Pure Column expressions: the reasons array is built with filter() over
+    a literal array of (name, failed) structs — no UDF, no shuffle.
+    """
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(fail(), F.lit(name)).otherwise(F.lit(None))
+                for name, fail in RULE_FAILS
+            ]
+        )
+    )
+    return df.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )

@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import pytest
+
+from data_quality_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("dqs-tests", cpus=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def files_pdf():
+    from data_quality_spark.corpus import generate_files_pdf
+
+    return generate_files_pdf(n_files=600, seed=42)
+
+
+@pytest.fixture(scope="session")
+def files_df(spark, files_pdf):
+    from data_quality_spark.corpus import FILES_SCHEMA
+
+    return spark.createDataFrame(files_pdf, schema=FILES_SCHEMA).repartition(8, "repo")
+
+
+@pytest.fixture(scope="session")
+def oracle_labels(files_pdf):
+    from data_quality_spark.oracle import label_files
+
+    return label_files(files_pdf)

@@ -1,0 +1,60 @@
+"""Truth-table tests for the agreement score / bucket / binarize exprs —
+semantics copied from /root/reference/annotator_agreement/measure.py:23-30,
+/root/reference/runme.py:29-31, /root/reference/timeseries/eeg_datasets.py:65.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions.agreement import (
+    agreement_score,
+    binarize,
+    quality_bucket,
+)
+
+CASES = [
+    # (a1, a2, a3, gt, expected score)
+    (2, 2, 2, 2, 1.0),  # sqerr 0 → perfect
+    (2, 2, 3, 2, 0.5),  # sqerr 1 → partial
+    (2, 3, 3, 2, 0.2),  # sqerr 2 → bad-ish
+    (0, 4, 4, 0, 0.2),  # sqerr 32 → else-branch
+    (1, 1, 1, -1, 0.0),  # gt = -1 sentinel → 0.0 (measure.py:23)
+    (-1, -1, -1, -1, 0.0),  # sentinel wins even on "agreement"
+    (0, 0, 1, 0, 0.5),
+]
+
+
+def test_agreement_truth_table(spark):
+    df = spark.createDataFrame(
+        [(i, a1, a2, a3, gt) for i, (a1, a2, a3, gt, _) in enumerate(CASES)],
+        "id long, a1 int, a2 int, a3 int, gt int",
+    )
+    got = (
+        df.withColumn(
+            "score", agreement_score(F.col("a1"), F.col("a2"), F.col("a3"), F.col("gt"))
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for row, (_, _, _, _, want) in zip(got, CASES):
+        assert row["score"] == want, (row, want)
+
+
+def test_bucket_boundaries(spark):
+    # boundaries 0.75 / 0.25 are Mid (strict inequalities, runme.py:29-31)
+    df = spark.createDataFrame(
+        [(0.76,), (0.75,), (0.5,), (0.25,), (0.24,), (1.0,), (0.0,)], "s double"
+    )
+    rows = df.withColumn("b", quality_bucket(F.col("s"))).collect()
+    want = {0.76: "Good", 0.75: "Mid", 0.5: "Mid", 0.25: "Mid", 0.24: "Bad", 1.0: "Good", 0.0: "Bad"}
+    for r in rows:
+        assert r["b"] == want[r["s"]], r
+
+
+def test_binarize_exact_one(spark):
+    df = spark.createDataFrame([(1.0,), (0.9999999,), (0.5,), (0.0,)], "s double")
+    rows = df.withColumn("lbl", binarize(F.col("s"))).collect()
+    want = {1.0: 1, 0.9999999: 0, 0.5: 0, 0.0: 0}
+    for r in rows:
+        assert r["lbl"] == want[r["s"]], r

@@ -1,0 +1,98 @@
+"""End-to-end pipeline gates (BASELINE.md):
+
+- keep/drop F1 ≥ 0.99 vs the single-process oracle labels (expect exact);
+- sha256 equality of scrubbed_content for untouched rows;
+- scrub correctness + idempotence for touched rows;
+- hot path is Arrow-only: physical plan has ArrowEvalPython, never
+  BatchEvalPython.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from data_quality_spark.plans.pipeline import score_files
+
+
+def _key(df):
+    return list(zip(df["repo"], df["path"], df["commit"]))
+
+
+def test_keep_f1_vs_oracle(files_df, oracle_labels):
+    got = (
+        score_files(files_df)
+        .select("repo", "path", "commit", "keep", "drop_reasons")
+        .toPandas()
+    )
+    merged = got.merge(
+        oracle_labels[["repo", "path", "commit", "keep", "drop_reasons"]],
+        on=["repo", "path", "commit"],
+        suffixes=("_spark", "_oracle"),
+        validate="1:1",
+    )
+    assert len(merged) == len(oracle_labels)
+    tp = ((merged.keep_spark) & (merged.keep_oracle)).sum()
+    fp = ((merged.keep_spark) & (~merged.keep_oracle)).sum()
+    fn = ((~merged.keep_spark) & (merged.keep_oracle)).sum()
+    f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+    assert f1 >= 0.99, f"F1={f1} fp={fp} fn={fn}"
+    # reasons match exactly too
+    mism = merged[
+        merged.drop_reasons_spark.map(tuple) != merged.drop_reasons_oracle.map(tuple)
+    ]
+    assert len(mism) == 0, mism.head()
+
+
+def test_scrub_sha256_invariants(files_df, oracle_labels):
+    got = (
+        score_files(files_df)
+        .select("repo", "path", "commit", "content", "scrubbed_content", "was_modified")
+        .toPandas()
+    )
+    merged = got.merge(
+        oracle_labels[["repo", "path", "commit", "scrubbed_content", "was_modified", "stratum"]],
+        on=["repo", "path", "commit"],
+        suffixes=("", "_oracle"),
+        validate="1:1",
+    )
+    # untouched rows: scrubbed output byte-identical to input
+    untouched = merged[~merged.was_modified]
+    assert (
+        untouched.content.map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+        == untouched.scrubbed_content.map(
+            lambda s: hashlib.sha256(s.encode()).hexdigest()
+        )
+    ).all()
+    # spark scrub == oracle scrub everywhere (same engine, same rules)
+    assert (merged.scrubbed_content == merged.scrubbed_content_oracle).all()
+    assert (merged.was_modified == merged.was_modified_oracle).all()
+    # every pii-stratum row got modified, and no secrets survive
+    pii = merged[merged.stratum == "pii"]
+    assert len(pii) > 0 and pii.was_modified.all()
+    joined = "\n".join(pii.scrubbed_content)
+    assert "AKIA" not in joined and "@" not in joined
+
+
+def test_scrub_idempotent(oracle_labels):
+    from data_quality_spark.functions.scrub import scrub_series
+
+    once = oracle_labels["scrubbed_content"]
+    twice = scrub_series(once)
+    assert (once == twice).all()
+
+
+def test_hot_path_is_arrow_only(files_df):
+    plan = score_files(files_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_strata_labels(files_df, oracle_labels):
+    """Planted strata get the intended decisions (sanity on rule power)."""
+    by = oracle_labels.groupby("stratum")["keep"].mean()
+    assert by["clean"] >= 0.98
+    assert by["pii"] >= 0.98
+    for bad in ["gibberish", "boilerplate", "tiny", "minified", "low_alnum", "low_entropy"]:
+        assert by[bad] == 0.0, (bad, by[bad])
