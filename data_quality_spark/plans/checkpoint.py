@@ -1,0 +1,131 @@
+"""Per-partition checkpoint / resume / lineage / metrics.
+
+CCNet-style resumable batch: the corpus is processed in part_id groups; a
+``_progress`` table records one row per completed partition with lineage
+(run config, rule + scrub versions) and metrics (row/keep/modified counts —
+the Spark form of the reference's quality_stats.json,
+/root/reference/runme.py:17-36). On startup, pending work = all partitions
+LEFT ANTI JOIN done partitions (SURVEY.md §2.4 J-resume).
+
+Idempotence: data is written with dynamic partition overwrite on
+``part_id`` — a re-run of a partially-written partition replaces it instead
+of duplicating rows, so kill-and-resume yields byte-identical output.
+
+At 10^12 files this loop runs with n_parts in the thousands and
+``chunk_size`` sized so one chunk ≈ one cluster-filling job; the _progress
+table stays tiny (one row per partition) and the anti-join is a broadcast.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import rules as R
+from ..functions.scrub import SCRUB_RULES_VERSION
+from .partitioning import with_part_id, with_salt
+from .pipeline import OUTPUT_COLUMNS, score_files
+
+PROGRESS_SCHEMA = (
+    "part_id int, run_id string, rules_version string, scrub_version string, "
+    "n_rows long, n_keep long, n_modified long, wall_sec double, finished_at double"
+)
+
+
+def data_path(out_dir: str) -> str:
+    return f"{out_dir}/data"
+
+
+def progress_path(out_dir: str) -> str:
+    return f"{out_dir}/_progress"
+
+
+def read_progress(spark: SparkSession, out_dir: str) -> DataFrame:
+    try:
+        return spark.read.schema(PROGRESS_SCHEMA).parquet(progress_path(out_dir))
+    except Exception:
+        return spark.createDataFrame([], PROGRESS_SCHEMA)
+
+
+def pending_partitions(spark: SparkSession, out_dir: str, n_parts: int) -> list[int]:
+    """All part_ids minus done ones — expressed as the left-anti join the
+    resume step uses at scale (the done set is broadcast-sized)."""
+    all_parts = spark.range(n_parts).select(F.col("id").cast("int").alias("part_id"))
+    done = read_progress(spark, out_dir).select("part_id").distinct()
+    rows = all_parts.join(done, "part_id", "left_anti").collect()
+    return sorted(r.part_id for r in rows)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    out_dir: str,
+    n_parts: int = 16,
+    chunk_size: int = 4,
+    salt_factor: int = 8,
+    salt_threshold: int = 10_000,
+    run_id: str | None = None,
+    max_chunks: int | None = None,
+) -> dict:
+    """Score + scrub ``files`` into ``out_dir`` resumably.
+
+    ``max_chunks`` exists for the kill-and-resume test: process only that
+    many chunks, then stop as a simulated failure.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    prepared = with_salt(
+        with_part_id(files, n_parts),
+        salt_factor=salt_factor,
+        salt_threshold=salt_threshold,
+    )
+
+    pending = pending_partitions(spark, out_dir, n_parts)
+    chunks = [pending[i : i + chunk_size] for i in range(0, len(pending), chunk_size)]
+    processed = []
+    for ci, chunk in enumerate(chunks):
+        if max_chunks is not None and ci >= max_chunks:
+            break
+        t0 = time.time()
+        part = prepared.filter(F.col("part_id").isin(chunk))
+        # balance the UDF stage across (part, salt) slices before scoring
+        part = part.repartition(len(chunk) * salt_factor, "part_id", "salt")
+        scored = score_files(part).select("part_id", *OUTPUT_COLUMNS)
+        (
+            scored.write.mode("overwrite")
+            .partitionBy("part_id")
+            .parquet(data_path(out_dir))
+        )
+        # metrics/lineage from what was just written (read-back = what's durable)
+        written = spark.read.parquet(data_path(out_dir)).filter(
+            F.col("part_id").isin(chunk)
+        )
+        m = written.groupBy("part_id").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum(F.col("was_modified").cast("long")).alias("n_modified"),
+        )
+        wall = time.time() - t0
+        marker = (
+            m.withColumn("run_id", F.lit(run_id))
+            .withColumn("rules_version", F.lit(R.RULES_VERSION))
+            .withColumn("scrub_version", F.lit(SCRUB_RULES_VERSION))
+            .withColumn("wall_sec", F.lit(wall))
+            .withColumn("finished_at", F.lit(time.time()))
+            .select(*[c.split(" ")[0] for c in PROGRESS_SCHEMA.split(", ")])
+        )
+        marker.coalesce(1).write.mode("append").parquet(progress_path(out_dir))
+        processed.extend(chunk)
+    return {
+        "run_id": run_id,
+        "processed_parts": processed,
+        "remaining_parts": [p for p in pending if p not in processed],
+    }
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(data_path(out_dir))

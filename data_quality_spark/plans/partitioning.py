@@ -1,0 +1,81 @@
+"""Explicit repo-hash partitioning + skew salting.
+
+north_rule requirement: "partitioning / shuffle / skew handled explicitly".
+
+Unit of work & checkpointing: ``part_id = pmod(xxhash64(repo), n_parts)``.
+All files of a repo land in one partition (group coherence — the same trick
+as the reference's whole-file split assignment,
+/root/reference/timeseries/eeg_datasets.py:181-183, made deterministic).
+
+Skew: a mega-repo would make one task the straggler of the scoring stage
+(AQE's skew handling only splits join/shuffle-read skew, not UDF-stage task
+skew). A cheap count pre-pass finds repos whose file count exceeds
+``salt_threshold``; only those get a path-hash salt, spreading their rows
+across ``salt_factor`` tasks while everything else keeps one bucket per
+repo. The salt is *within* a part_id, so checkpoint bookkeeping is
+unaffected.
+
+At 10^12 files the pre-pass is a single map-side-combined groupBy over the
+(repo) column only — a few GB of aggregate state across the cluster, read
+pruned to one column from the columnar source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_part_id(df: DataFrame, n_parts: int, repo_col: str = "repo") -> DataFrame:
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col(repo_col)), F.lit(n_parts)).cast("int")
+    )
+
+
+def skewed_repos(
+    df: DataFrame, salt_threshold: int, repo_col: str = "repo"
+) -> DataFrame:
+    """Repos above the straggler threshold. Column-pruned scan + partial agg."""
+    return (
+        df.groupBy(repo_col)
+        .count()
+        .filter(F.col("count") > salt_threshold)
+        .select(repo_col)
+    )
+
+
+def with_salt(
+    df: DataFrame,
+    salt_factor: int = 8,
+    salt_threshold: int = 10_000,
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """Attach ``salt``: 0 for normal repos, path-hash in [0, salt_factor) for
+    skewed ones. The skewed-repo set is broadcast (it is tiny by
+    construction: > threshold rows each)."""
+    hot = skewed_repos(df, salt_threshold, repo_col).withColumn(
+        "_is_hot", F.lit(True)
+    )
+    joined = df.join(F.broadcast(hot), on=repo_col, how="left")
+    return joined.withColumn(
+        "salt",
+        F.when(
+            F.col("_is_hot").isNotNull(),
+            F.pmod(F.xxhash64(F.col(path_col)), F.lit(salt_factor)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_is_hot")
+
+
+def repartition_for_scoring(
+    df: DataFrame,
+    n_parts: int,
+    tasks_per_part: int = 1,
+    salt_factor: int = 8,
+    salt_threshold: int = 10_000,
+) -> DataFrame:
+    """part_id + salt + one explicit shuffle that co-locates each (repo-bucket,
+    salt) slice. Downstream scoring is then narrow and skew-balanced."""
+    df = with_part_id(df, n_parts)
+    df = with_salt(df, salt_factor=salt_factor, salt_threshold=salt_threshold)
+    return df.repartition(n_parts * tasks_per_part, "part_id", "salt")

@@ -1,0 +1,80 @@
+"""Partitioning, salting, checkpoint/resume gates (BASELINE.md resumability:
+identical output after kill-and-resume at a partition boundary)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_quality_spark.plans import checkpoint as CP
+from data_quality_spark.plans.partitioning import with_part_id, with_salt
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf["drop_reasons"] = pdf["drop_reasons"].map(tuple)
+    return (
+        pdf.sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+        .sort_index(axis=1)
+    )
+
+
+def test_part_id_group_coherent(files_df):
+    df = with_part_id(files_df, 16)
+    bad = (
+        df.groupBy("repo")
+        .agg(F.countDistinct("part_id").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_salting_targets_only_hot_repos(files_df):
+    df = with_salt(files_df, salt_factor=4, salt_threshold=50)
+    agg = (
+        df.groupBy("repo")
+        .agg(F.countDistinct("salt").alias("nsalt"), F.count("*").alias("n"))
+        .toPandas()
+    )
+    hot = agg[agg.n > 50]
+    cold = agg[agg.n <= 50]
+    assert (hot.nsalt > 1).all()  # mega-repo spread across salt buckets
+    assert (cold.nsalt == 1).all()  # everyone else untouched
+
+
+def test_kill_and_resume_identical(spark, files_df, tmp_path):
+    one_shot = str(tmp_path / "oneshot")
+    resumed = str(tmp_path / "resumed")
+
+    r1 = CP.run_pipeline(spark, files_df, one_shot, n_parts=8, chunk_size=3)
+    assert r1["remaining_parts"] == []
+
+    # simulated failure: only 1 chunk of 3 parts completes
+    r2a = CP.run_pipeline(
+        spark, files_df, resumed, n_parts=8, chunk_size=3, max_chunks=1
+    )
+    assert len(r2a["processed_parts"]) == 3 and len(r2a["remaining_parts"]) == 5
+    assert CP.pending_partitions(spark, resumed, 8) == sorted(r2a["remaining_parts"])
+
+    # resume picks up exactly the rest
+    r2b = CP.run_pipeline(spark, files_df, resumed, n_parts=8, chunk_size=3)
+    assert sorted(r2a["processed_parts"] + r2b["processed_parts"]) == list(range(8))
+
+    a = _canon(CP.read_output(spark, one_shot).toPandas())
+    b = _canon(CP.read_output(spark, resumed).toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+    # lineage recorded per partition
+    prog = CP.read_progress(spark, resumed).toPandas()
+    assert set(prog.part_id) == set(range(8))
+    assert (prog.rules_version == "rules-v1").all()
+    assert prog.run_id.nunique() == 2  # two runs contributed
+
+
+def test_rerun_is_noop(spark, files_df, tmp_path):
+    out = str(tmp_path / "noop")
+    CP.run_pipeline(spark, files_df, out, n_parts=4, chunk_size=4)
+    r = CP.run_pipeline(spark, files_df, out, n_parts=4, chunk_size=4)
+    assert r["processed_parts"] == [] and r["remaining_parts"] == []
