@@ -1,38 +1,962 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the data_quality_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``    — flagship quality-filter pipeline on sf0.001.
+``queries()``       — one callable per implemented operator (SURVEY.md §2 +
+                      the training-data-pipeline extras).
+``oracle_sql()``    — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                      query (same column names; doubles rounded to 6 dp on
+                      both sides so engine-order float drift can't break the
+                      value hash).
+
+Conventions:
+- word/shingle hashing is md5-prefix based (portable across engines);
+- timestamps never leave queries raw — epoch seconds as bigint;
+- every aggregate/computed column is aliased identically in both paths.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions import text as TX
+from data_quality_spark.functions.agreement import (
+    agreement_score,
+    binarize,
+    quality_bucket,
+)
+from data_quality_spark.operators import dedup as DD
+from data_quality_spark.operators import similarity as SIM
+from data_quality_spark.operators import splits as SP
+from data_quality_spark.operators import windows as WIN
+
+# ---------------------------------------------------------------------------
+# shared deterministic constants (identical literals on both engines)
+
+N_PLANES = 4
+EMB_DIM = 64
+PLANES = SIM.hyperplanes(EMB_DIM, n_planes=N_PLANES, seed=1234)
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
+
+MINHASH_NUM = 16
+MINHASH_BANDS = 4
+MINHASH_K = 3
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# derived annotations (shared between the agreement queries):
+# deterministic pseudo-annotators from orders keys, hitting every branch of
+# the reference score semantics (measure.py:23-30) including gt = -1.
+
+def _annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return o.select(
+        F.col("o_orderkey").alias("sample_id"),
+        (F.col("o_orderkey") % 5).cast("int").alias("a1"),
+        (F.expr("o_orderkey div 3") % 5).cast("int").alias("a2"),
+        (F.col("o_custkey") % 5).cast("int").alias("a3"),
+        F.when(F.col("o_orderkey") % 37 == 0, F.lit(-1))
+        .otherwise((F.expr("o_orderkey div 7") % 5).cast("int"))
+        .cast("int")
+        .alias("ground_truth"),
+    )
+
+
+_ANNOT_SQL = """
+    SELECT o_orderkey AS sample_id,
+           CAST(o_orderkey % 5 AS INTEGER) AS a1,
+           CAST((o_orderkey // 3) % 5 AS INTEGER) AS a2,
+           CAST(o_custkey % 5 AS INTEGER) AS a3,
+           CAST(CASE WHEN o_orderkey % 37 = 0 THEN -1
+                     ELSE (o_orderkey // 7) % 5 END AS INTEGER) AS ground_truth
+    FROM orders
+"""
+
+_SCORE_SQL = """
+    SELECT sample_id, a1, a2, a3, ground_truth,
+           CASE WHEN ground_truth = -1 THEN 0.0
+                WHEN (a1-ground_truth)*(a1-ground_truth)
+                   + (a2-ground_truth)*(a2-ground_truth)
+                   + (a3-ground_truth)*(a3-ground_truth) = 0 THEN 1.0
+                WHEN (a1-ground_truth)*(a1-ground_truth)
+                   + (a2-ground_truth)*(a2-ground_truth)
+                   + (a3-ground_truth)*(a3-ground_truth) = 1 THEN 0.5
+                ELSE 0.2 END AS score
+    FROM ({annot}) ann
+""".format(annot=_ANNOT_SQL)
+
+
+def q_agreement_score(spark, sf_dir):
+    ann = _annotations(spark, sf_dir)
+    return ann.withColumn(
+        "score",
+        agreement_score(
+            F.col("a1"), F.col("a2"), F.col("a3"), F.col("ground_truth")
+        ),
+    )
+
+
+def q_agreement_buckets(spark, sf_dir):
+    scored = q_agreement_score(spark, sf_dir)
+    return (
+        scored.groupBy(quality_bucket(F.col("score")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_quality_binarize(spark, sf_dir):
+    scored = q_agreement_score(spark, sf_dir)
+    return scored.groupBy(binarize(F.col("score")).alias("label")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: heuristics / langid / tokens / fingerprint / entropy / quality
+
+
+def q_doc_heuristics(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(ws), F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(ws).alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n, 6
+        ).alias("dup_word_ratio"),
+        F.array_max(F.transform(ws, F.length)).alias("max_word_len"),
+        F.round(
+            F.aggregate(ws, F.lit(0.0), lambda a, w: a + F.length(w).cast("double"))
+            / n,
+            6,
+        ).alias("mean_word_len"),
+    )
+
+
+SQL_DOC_HEURISTICS = """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(str_split(text, ' ')) AS n_words,
+           round(1.0 - len(list_distinct(str_split(text, ' ')))::DOUBLE
+                     / greatest(len(str_split(text, ' ')), 1), 6) AS dup_word_ratio,
+           list_max(list_transform(str_split(text, ' '), w -> length(w))) AS max_word_len,
+           round(list_sum(list_transform(str_split(text, ' '), w -> length(w)))::DOUBLE
+                 / greatest(len(str_split(text, ' ')), 1), 6) AS mean_word_len
+    FROM documents
+"""
+
+
+def q_doc_langid(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return d.select(
+        "doc_id",
+        F.round(TX.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        TX.heuristic_langid(F.col("text")).alias("pred_lang"),
+        (TX.heuristic_langid(F.col("text")) == F.col("lang"))
+        .cast("int")
+        .alias("agrees"),
+    )
+
+
+SQL_DOC_LANGID = f"""
+    WITH w AS (
+      SELECT doc_id, lang, str_split(lower(text), ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_filter(ws, x -> list_contains([{_STOPWORDS_SQL}], x)))::DOUBLE
+                 / greatest(len(ws), 1), 6) AS stopword_ratio,
+           CASE WHEN len(list_filter(ws, x -> list_contains([{_STOPWORDS_SQL}], x)))::DOUBLE
+                     / greatest(len(ws), 1) >= 0.08
+                THEN 'en' ELSE 'other' END AS pred_lang,
+           CAST(CASE WHEN len(list_filter(ws, x -> list_contains([{_STOPWORDS_SQL}], x)))::DOUBLE
+                          / greatest(len(ws), 1) >= 0.08
+                     THEN 'en' ELSE 'other' END = lang AS INTEGER) AS agrees
+    FROM w
+"""
+
+
+def q_doc_tokens(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_DOC_TOKENS = r"""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE len(regexp_split_to_array(text, '\s+')) END AS ws_tokens,
+           len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                           w -> length(w) > 0))
+             + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS bpe_tokens
+    FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = """
+    WITH z AS (
+      SELECT doc_id,
+             list_zip(str_split(text, ' '),
+                      range(1, greatest(len(str_split(text, ' ')), 1) + 1)) AS wi
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(wi, s ->
+                 (('0x' || substring(md5(s[1]), 1, 8))::BIGINT % 1000003)
+                 * CAST(pow(31.0, s[2] % 8) AS BIGINT))),
+             (acc, x) -> (acc + x) % 1152921504606846976) AS fp
+    FROM z
+"""
+
+
+def q_doc_entropy(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.filter(F.length("text") > 0).select(
+        "doc_id", F.round(TX.char_entropy(F.col("text")), 6).alias("entropy")
+    )
+
+
+SQL_DOC_ENTROPY = """
+    WITH chars AS (
+      SELECT doc_id, unnest(str_split(text, '')) AS ch, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), freq AS (
+      SELECT doc_id, ch, count(*)::DOUBLE / max(n) AS p
+      FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy
+    FROM freq GROUP BY doc_id
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    score = TX.quality_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        score.alias("qscore"),
+        quality_bucket(score).alias("bucket"),
+    )
+
+
+SQL_DOC_QUALITY = f"""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws,
+             str_split(lower(text), ' ') AS lws
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+               / greatest(len(ws), 1) AS mean_wlen,
+             1.0 - len(list_distinct(ws))::DOUBLE / greatest(len(ws), 1) AS dup,
+             len(list_filter(lws, x -> list_contains([{_STOPWORDS_SQL}], x)))::DOUBLE
+               / greatest(len(lws), 1) AS swr
+      FROM w
+    ), scored AS (
+      SELECT doc_id,
+             round((CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                         THEN 1.0 ELSE 0.3 END) * 0.4
+                 + (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
+                 + (1.0 - least(dup, 1.0) * 0.5) * 0.3, 6) AS qscore
+      FROM feats
+    )
+    SELECT doc_id, qscore,
+           CASE WHEN qscore > 0.75 THEN 'Good'
+                WHEN qscore < 0.25 THEN 'Bad'
+                ELSE 'Mid' END AS bucket
+    FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("key_text")
+    )
+    return DD.exact_dedup(d, "key_text", "doc_id").withColumnRenamed(
+        "keep_doc_id", "keep_id"
+    )
+
+
+SQL_DEDUP_EXACT = """
+    SELECT md5(substring(text, 1, 60)) AS digest,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.minhash_candidates(
+        d, "doc_id", "text", MINHASH_NUM, MINHASH_BANDS, MINHASH_K
+    )
+
+
+def _sql_dedup_minhash() -> str:
+    k = MINHASH_K
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> "
+        f"((('0x'||substring(md5(s),1,8))::BIGINT * {2 * i + 1} + {7919 * (i + 1)})"
+        f" % 2147483647))) AS s{i}"
+        for i in range(MINHASH_NUM)
+    )
+    rows_per_band = MINHASH_NUM // MINHASH_BANDS
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"l.s{b * rows_per_band + r} = r.s{b * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - {k} + 1, 1) + 1),
+               i -> array_to_string(ws[i : i + {k - 1}], ' '))) AS sh
+      FROM w
+    ), sig AS (
+      SELECT doc_id, {sigs} FROM sh
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ({band_conds})
+    """
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", group_col="source", shingle_k=1, threshold=0.5
+    ).withColumn("jaccard", F.round("jaccard", 6))
+
+
+SQL_DEDUP_JACCARD = """
+    WITH w AS (
+      SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS ws
+      FROM documents
+    )
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           round(len(list_intersect(l.ws, r.ws))::DOUBLE
+                 / greatest(len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws)), 1),
+                 6) AS jaccard
+    FROM w l JOIN w r ON l.source = r.source AND l.doc_id < r.doc_id
+    WHERE len(list_intersect(l.ws, r.ws))::DOUBLE
+          / greatest(len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws)), 1) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.simhash(d, "text").select("doc_id", "simhash")
+
+
+def _sql_dedup_simhash() -> str:
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(16)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, list_distinct(str_split(text, ' ')) AS words FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(words, x -> ('0x'||substring(md5(x),1,8))::BIGINT) AS hs
+      FROM w
+    )
+    SELECT doc_id, {terms} AS simhash FROM h
+    """
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+
+
+def q_embed_topk(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qvec = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    joined = e.crossJoin(F.broadcast(qvec))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cos = dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        joined.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_EMBED_TOPK = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    ), q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cosine
+    FROM e CROSS JOIN q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+def q_embed_lsh_buckets(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucketed = e.withColumn("bucket", SIM.lsh_bucket(F.col("v"), PLANES))
+    return bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+def _sql_embed_lsh_buckets() -> str:
+    terms = []
+    for j, p in enumerate(PLANES):
+        lits = ", ".join(repr(float(x)) for x in p)
+        terms.append(
+            f"CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) > 0 "
+            f"THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    expr = " + ".join(terms)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    )
+    SELECT {expr} AS bucket, CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# relational core: TPC-H-style aggregation + joins
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """customer ⋈ orders ⋈ nation with the dims broadcast."""
+    o = _read(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+    SELECT n_name,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_decode_join(spark, sf_dir):
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_name", "r_name"
+    )
+
+
+SQL_DECODE_JOIN = """
+    SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_resume_pending(spark, sf_dir):
+    """Checkpoint-resume join shape: partitions minus done ones (left anti)."""
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    parts = o.select((F.col("o_orderkey") % 16).alias("part_id")).distinct()
+    done = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy((F.col("o_orderkey") % 16).alias("part_id"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 120)
+        .select("part_id")
+    )
+    return parts.join(done, "part_id", "left_anti")
+
+
+SQL_RESUME_PENDING = """
+    WITH parts AS (SELECT DISTINCT o_orderkey % 16 AS part_id FROM orders),
+         done AS (
+           SELECT o_orderkey % 16 AS part_id FROM orders
+           WHERE o_orderstatus = 'F'
+           GROUP BY 1 HAVING count(*) > 120
+         )
+    SELECT part_id FROM parts
+    WHERE part_id NOT IN (SELECT part_id FROM done)
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
+                  AS INTEGER) AS rn
+      FROM lineitem
+    ) t WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: time windows, count windows, sessions, JSON
+
+
+def q_events_hourly(spark, sf_dir):
+    e = _read(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .cast("bigint")
+            .alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_count_windows(spark, sf_dir):
+    """W1/W2/A4 on events: tumbling 30-row windows per user ordered by time;
+    window class = 1 iff any error event inside (all-clean rule)."""
+    e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    win = e.withColumn("window_id", F.floor((rn - 1) / 30))
+    return win.groupBy("user_id", "window_id").agg(
+        F.count("*").alias("window_len"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("window_class"),
+    )
+
+
+SQL_EVENTS_COUNT_WINDOWS = """
+    WITH numbered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, CAST((rn - 1) // 30 AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS window_len,
+           CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INTEGER)
+             AS window_class
+    FROM numbered GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionize: new session when gap > 30 min; per-user session stats."""
+    e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("slen")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("slen").alias("max_session_len"),
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ), per AS (
+      SELECT user_id, session_id, count(*) AS slen FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(slen) AS BIGINT) AS max_session_len
+    FROM per GROUP BY user_id
+"""
+
+
+def q_events_json(spark, sf_dir):
+    e = _read(spark, sf_dir, "events").select("event_type", "props")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k")
+    )
+
+
+SQL_EVENTS_JSON = """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# splits + scrub
+
+
+def q_split_row(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    return (
+        SP.with_row_split(d, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_SPLIT_ROW = """
+    SELECT CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 < 20
+                THEN 'test' ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+"""
+
+
+def q_split_group(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    sp = SP.with_group_split(d, "source")
+    return sp.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
+
+
+SQL_SPLIT_GROUP = """
+    SELECT source,
+           CASE WHEN ('0x' || substring(md5(source), 1, 8))::BIGINT % 100 < 20
+                THEN 'test' ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+"""
+
+
+def q_scrub_documents(spark, sf_dir):
+    """Engine-portable scrub variant (simple patterns identical in Java/RE2):
+    masks the word 'key' and any run of ≥3 digits; reports integrity hashes.
+    (The production scrub chain is python-re-only — see
+    data_quality_spark/functions/scrub.py — and is exercised rows-only via
+    pipeline_scrub.)"""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "\\bkey\\b", "<KEY>"), "[0-9]{3,}", "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha_before"),
+        F.sha2(scrubbed, 256).alias("sha_after"),
+        (scrubbed != F.col("text")).cast("int").alias("was_modified"),
+    )
+
+
+SQL_SCRUB_DOCUMENTS = r"""
+    WITH s AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(text, '\bkey\b', '<KEY>', 'g'),
+                            '[0-9]{3,}', '<NUM>', 'g') AS scrubbed
+      FROM documents
+    )
+    SELECT doc_id,
+           sha256(text) AS sha_before,
+           sha256(scrubbed) AS sha_after,
+           CAST(scrubbed <> text AS INTEGER) AS was_modified
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible: model UDFs, full pipeline)
+
+
+def q_pipeline_keep_drop(spark, sf_dir):
+    """Full quality-filter pipeline over the deterministic synthetic corpus
+    (langid + perplexity UDFs are model-based → no SQL oracle; driver does
+    the rows-only check, pytest does the F1/sha256 gates)."""
+    from data_quality_spark.corpus import generate_files_df
+    from data_quality_spark.plans.pipeline import score_files
+
+    files = generate_files_df(spark, n_files=800, seed=202)
+    scored = score_files(files)
+    return scored.select(
+        "repo",
+        "path",
+        "commit",
+        "keep",
+        F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
+        "langid_label",
+        F.round("perplexity", 4).alias("perplexity"),
+        "was_modified",
+        F.sha2("scrubbed_content", 256).alias("scrubbed_sha"),
+    )
+
+
+def q_pipeline_metrics(spark, sf_dir):
+    from data_quality_spark.corpus import generate_files_df
+    from data_quality_spark.plans.pipeline import quality_stats, score_files
+
+    files = generate_files_df(spark, n_files=800, seed=202)
+    by_keep, _ = quality_stats(score_files(files))
+    return by_keep.select(
+        "keep", "n", "n_modified", F.round("avg_perplexity", 2).alias("avg_ppl")
+    )
+
+
+def q_symbolic_sequences(spark, sf_dir):
+    """W1-W3 windowed symbolic dataset over derived annotations (stage =
+    ground_truth clipped to [0,4]; label = binarized agreement score)."""
+    ann = _annotations(spark, sf_dir)
+    scored = ann.withColumn(
+        "score",
+        agreement_score(F.col("a1"), F.col("a2"), F.col("a3"), F.col("ground_truth")),
+    ).withColumn("label", binarize(F.col("score")))
+    base = scored.select(
+        (F.col("sample_id") % 50).alias("file"),
+        F.col("sample_id").alias("epoch"),
+        F.greatest(F.col("ground_truth"), F.lit(0)).alias("stage"),
+        "label",
+    )
+    return WIN.symbolic_sequences(base, "file", "epoch", "stage", "label", 30)
+
+
+# ---------------------------------------------------------------------------
+# driver API
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full quality-filter pipeline over a code-file table
+    derived deterministically from sf0.001 documents (repo ← source,
+    content ← text) — langid, perplexity, heuristics, keep/drop, scrub."""
+    from data_quality_spark.plans.pipeline import score_files
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    files = docs.select(
+        F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    scored = score_files(files)
+    return scored.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "keep",
+        F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
+        "langid_label",
+        F.round("langid_score", 6).alias("langid_score"),
+        F.round("perplexity", 4).alias("perplexity"),
+        F.round("entropy", 4).alias("entropy"),
+        "n_chars",
+        "was_modified",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "agreement_score": q_agreement_score,
+        "agreement_buckets": q_agreement_buckets,
+        "quality_binarize": q_quality_binarize,
+        "doc_heuristics": q_doc_heuristics,
+        "doc_langid": q_doc_langid,
+        "doc_tokens": q_doc_tokens,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_entropy": q_doc_entropy,
+        "doc_quality": q_doc_quality,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_topk": q_embed_topk,
+        "embed_lsh_buckets": q_embed_lsh_buckets,
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "decode_join": q_decode_join,
+        "resume_pending": q_resume_pending,
+        "topk_per_group": q_topk_per_group,
+        "events_hourly": q_events_hourly,
+        "events_count_windows": q_events_count_windows,
+        "events_sessions": q_events_sessions,
+        "events_json": q_events_json,
+        "split_row": q_split_row,
+        "split_group": q_split_group,
+        "scrub_documents": q_scrub_documents,
+        "pipeline_keep_drop": q_pipeline_keep_drop,
+        "pipeline_metrics": q_pipeline_metrics,
+        "symbolic_sequences": q_symbolic_sequences,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agreement_score": _SCORE_SQL,
+        "agreement_buckets": f"""
+            SELECT CASE WHEN score > 0.75 THEN 'Good'
+                        WHEN score < 0.25 THEN 'Bad'
+                        ELSE 'Mid' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ({_SCORE_SQL}) s GROUP BY 1
+        """,
+        "quality_binarize": f"""
+            SELECT CAST(score = 1.0 AS INTEGER) AS label,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ({_SCORE_SQL}) s GROUP BY 1
+        """,
+        "doc_heuristics": SQL_DOC_HEURISTICS,
+        "doc_langid": SQL_DOC_LANGID,
+        "doc_tokens": SQL_DOC_TOKENS,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_entropy": SQL_DOC_ENTROPY,
+        "doc_quality": SQL_DOC_QUALITY,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash": _sql_dedup_minhash(),
+        "dedup_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_simhash": _sql_dedup_simhash(),
+        "embed_topk": SQL_EMBED_TOPK,
+        "embed_lsh_buckets": _sql_embed_lsh_buckets(),
+        "tpch_q1": SQL_TPCH_Q1,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "decode_join": SQL_DECODE_JOIN,
+        "resume_pending": SQL_RESUME_PENDING,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "events_count_windows": SQL_EVENTS_COUNT_WINDOWS,
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_json": SQL_EVENTS_JSON,
+        "split_row": SQL_SPLIT_ROW,
+        "split_group": SQL_SPLIT_GROUP,
+        "scrub_documents": SQL_SCRUB_DOCUMENTS,
+        # pipeline_keep_drop / pipeline_metrics / symbolic_sequences:
+        # model-UDF / collect_list-render based → rows-only checks.
+    }

@@ -1,0 +1,107 @@
+"""Text-analysis functions: language-ID heuristic, quality scoring, token
+counting, document fingerprinting — all pure Column expressions (JVM-side,
+oracle-reproducible). The model-based variants (fastText-style langid,
+perplexity) live in models.py/udfs.py; these are the cheap first-pass
+filters a 100 TB pipeline runs *before* spending UDF cycles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..operators.dedup import word_hash
+
+# Tiny English stopword set — frozen; the ratio test only needs stability.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "for",
+    "on", "with", "as", "at", "by", "it", "be", "are", "this", "that",
+]
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokens (empty string → 0)."""
+    return F.when(F.length(text) == 0, 0).otherwise(
+        F.size(F.split(text, "\\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored proxy: count of word-piece + punctuation matches
+    (identical regex class in Java and DuckDB RE2)."""
+    return F.size(
+        F.filter(
+            F.split(text, "[^a-zA-Z0-9]+"),
+            lambda w: F.length(w) > 0,
+        )
+    ) + F.length(F.regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of words that are English stopwords — a cheap langid signal."""
+    ws = words_col(F.lower(text))
+    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    return n_stop.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
+
+
+def heuristic_langid(text: Column, threshold: float = 0.08) -> Column:
+    """'en' iff stopword ratio ≥ threshold else 'other'."""
+    return F.when(stopword_ratio(text) >= threshold, "en").otherwise("other")
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits) over characters — pure SQL form (explode-free:
+    aggregate over the distinct chars of the doc)."""
+    chars = F.split(text, "")
+    n = F.greatest(F.size(chars), F.lit(1)).cast("double")
+    distinct = F.array_distinct(chars)
+    # p(c) = count(c)/n ; H = -Σ p log2 p
+    return -F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (
+            F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
+        )
+        * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double") / n),
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over words (mod 2^61-1-ish):
+    fp = Σ H(w_i)·31^(i mod 8) mod M — deterministic, oracle-reproducible."""
+    M = 1152921504606846976  # 2^60; word hash reduced mod 1000003 so the
+    # per-term product stays < 2^55 — no bigint overflow in either engine
+    ws = words_col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)))
+    return F.aggregate(
+        F.zip_with(ws, idx, lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
+        F.lit(0).cast("long"),
+        lambda acc, s: (
+            acc
+            + (word_hash(s["w"]) % 1000003)
+            * F.pow(F.lit(31.0), (s["i"] % 8).cast("double")).cast("long")
+        )
+        % M,
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score over cheap signals: stopword ratio,
+    word-length sanity, duplication. Weights frozen (part of rules-v1)."""
+    ws = words_col(text)
+    n = F.greatest(F.size(ws), F.lit(1)).cast("double")
+    mean_wlen = F.aggregate(
+        ws, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+    ) / n
+    dup = F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.3)
+    sw = stopword_ratio(text)
+    sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.5)
+    dup_ok = F.lit(1.0) - F.least(dup, F.lit(1.0)) * 0.5
+    return F.round(wlen_ok * 0.4 + sw_ok * 0.3 + dup_ok * 0.3, 6)

@@ -1,0 +1,241 @@
+"""Deduplication operators over a text corpus — the large-scale
+training-data-pipeline layer. No reference counterpart (the reference has no
+dedup); designed Spark-first.
+
+All hashing is deterministic and engine-portable: the base word/shingle hash
+is the first 8 hex digits of md5, so the DuckDB oracle can reproduce every
+signature bit-for-bit (`conv(substring(md5(w),1,8),16,10)` ≡
+`('0x'||substring(md5(w),1,8))::BIGINT`).
+
+Scale notes (100 TB):
+- exact: one hash-aggregate shuffle on a 16-byte digest — the cheapest
+  possible key; AQE coalesces the post-agg partitions.
+- minhash: signatures are computed in one narrow projection (higher-order
+  functions, no UDF, no explode of the corpus); only the (band, bucket)
+  pairs shuffle, which is rows × n_bands small integers. Candidate
+  generation is a self-join on band buckets — the classic LSH bucket join —
+  and stays skew-safe because identical-text clusters are first collapsed
+  by exact dedup upstream.
+- simhash: 16-bit signature via bit-counting over word hashes, again pure
+  column expressions; near-dup candidates = equal signature (or banded
+  signature halves for hamming≤k).
+- embedding cosine: brute-force pairwise is O(n²) — only for candidate
+  verification within LSH buckets; the ANN path lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime modulus keeps (a*h+b) % P well-distributed for MinHash.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def word_hash(col):
+    """Portable 32-bit word hash: first 8 hex chars of md5 as a bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Keep the min-key row per identical text. Returns (digest, keep_key, n_copies)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(
+            F.min(key_col).alias("keep_" + key_col),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingles(text_col: str, k: int):
+    """Word k-shingles as space-joined strings (distinct)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, num_hashes: int = 16, shingle_k: int = 3
+) -> DataFrame:
+    """Attach ``minhash: array<bigint>`` of length num_hashes.
+
+    h_i(s) = (a_i * H(s) + b_i) mod P with fixed odd a_i, b_i. Entirely
+    higher-order-function column expressions: shingle → md5-hash → per-seed
+    min, no UDF, no explode."""
+    sh = _shingles(text_col, shingle_k)
+    hashes = F.transform(sh, lambda s: word_hash(s))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h: (h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)))
+                    % F.lit(MINHASH_PRIME),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn("minhash", sig)
+
+
+def minhash_bands(
+    df: DataFrame, key_col: str, num_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Explode the signature into (band_id, band_key) bucket rows."""
+    rows_per_band = num_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col("minhash")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(key_col, F.explode(bands).alias("band")).select(
+        key_col, "band.band_id", "band.band_key"
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (a < b) that share ≥1 band bucket."""
+    sig = minhash_signature(df, text_col, num_hashes, shingle_k)
+    bands = minhash_bands(sig, key_col, num_hashes, n_bands)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("a"),
+            F.col(f"r.{key_col}").alias("b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard over candidate pairs.
+
+    ``group_col`` bounds the self-join (blocking key) — at scale pass the
+    LSH band bucket or a cheap blocking key, never None (full cross join)."""
+    sh = df.select(
+        F.col(key_col),
+        *([F.col(group_col)] if group_col else []),
+        _shingles(text_col, shingle_k).alias("sh"),
+    )
+    l, r = sh.alias("l"), sh.alias("r")
+    cond = F.col(f"l.{key_col}") < F.col(f"r.{key_col}")
+    if group_col:
+        cond = cond & (F.col(f"l.{group_col}") == F.col(f"r.{group_col}"))
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    return (
+        l.join(r, cond)
+        .select(
+            F.col(f"l.{key_col}").alias("a"),
+            F.col(f"r.{key_col}").alias("b"),
+            (inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
+    """Attach ``simhash: bigint`` — sign-aggregated word-hash bits.
+
+    bit_j(doc) = 1 iff Σ_w (2·bit_j(H(w)) − 1) > 0, computed as pure
+    column expressions over the word-hash array (no UDF)."""
+    words = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(words, lambda w: word_hash(w))
+
+    def _bit_sum(j: int):
+        # closure (not a default arg): pyspark infers lambda arity from the
+        # signature, so the merge fn must be exactly (acc, h)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [_bit_sum(j) for j in range(bits)]
+    sig = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return df.withColumn("simhash", sig)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    group_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine within a blocking group.
+
+    dot products via zip_with + aggregate (JVM-side); O(n²) only inside
+    each group — pass an LSH bucket as group_col at scale."""
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double"),
+        )
+
+    v = df.select(key_col, group_col, F.col(vec_col).alias("v"))
+    l, r = v.alias("l"), v.alias("r")
+    cos = dot(F.col("l.v"), F.col("r.v")) / (
+        F.sqrt(dot(F.col("l.v"), F.col("l.v")))
+        * F.sqrt(dot(F.col("r.v"), F.col("r.v")))
+    )
+    return (
+        l.join(
+            r,
+            (F.col(f"l.{group_col}") == F.col(f"r.{group_col}"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("a"),
+            F.col(f"r.{key_col}").alias("b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,90 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — one narrow projection over the corpus
+(dot products via zip_with/aggregate, JVM-side) + a top-k. At 100 TB this is
+a full scan per query, so the scale path is random-hyperplane LSH: bucket
+every vector once (a cheap narrow projection, persisted with the table),
+then probe only the query's bucket. Hyperplanes are fixed literals derived
+from a seed → fully deterministic and reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def cosine_to_query(vec_col, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qnorm = float(np.sqrt(np.dot(query, query)))
+    return _dot(vec_col, q) / (F.sqrt(_dot(vec_col, vec_col)) * F.lit(qnorm))
+
+
+def brute_force_topk(
+    df: DataFrame, key_col: str, vec_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``. Ties broken by key so
+    results are deterministic (and oracle-comparable)."""
+    scored = df.select(
+        F.col(key_col),
+        F.round(cosine_to_query(F.col(vec_col), query), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(key_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 1234) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit-free — only the sign matters)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-pattern bucket id: bit j = 1 iff dot(v, plane_j) > 0."""
+    acc = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        acc = acc + F.when(_dot(vec_col, plane) > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    query: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+) -> DataFrame:
+    """ANN: restrict the scan to the query's LSH bucket, then exact cosine.
+
+    At scale the bucket column is precomputed/persisted (partition pruning
+    turns this into a fraction-of-corpus scan); here it's inlined."""
+    qbits = 0
+    for j, p in enumerate(planes):
+        if float(np.dot(query, p)) > 0:
+            qbits |= 1 << j
+    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("bucket") == qbits)
+    return brute_force_topk(cand, key_col, vec_col, query, k)
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, descending: bool = True
+) -> DataFrame:
+    """Generic top-k per group (window + row_number ≤ k)."""
+    order = F.desc(order_col) if descending else F.asc(order_col)
+    w = Window.partitionBy(group_col).orderBy(order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

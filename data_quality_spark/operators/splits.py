@@ -1,0 +1,45 @@
+"""Deterministic train/test splits (hash-based, reproducible).
+
+The reference splits with unseeded ``random.random()`` per row
+(/root/reference/timeseries/eeg_datasets.py:91) and per file
+(eeg_datasets.py:183 — "different full samples in training/testing"). Both
+are re-expressed as hash-mod assignments so every run (and the oracle)
+agrees:
+
+- row split:   bucket = md5-hash(key) mod 100 < pct
+- group split: same, hashed on the *group* key → whole group lands in one
+  split (exactly the repo-hash partitioning trick the pipeline uses).
+
+md5-derived buckets (not xxhash64) so the DuckDB oracle reproduces them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Portable bucket in [0, buckets): md5 → first 8 hex → int → mod."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def with_row_split(
+    df: DataFrame, key_col: str, test_pct: int = 20, split_col: str = "split"
+) -> DataFrame:
+    return df.withColumn(
+        split_col,
+        F.when(hash_bucket(F.col(key_col)) < test_pct, "test").otherwise("train"),
+    )
+
+
+def with_group_split(
+    df: DataFrame, group_col: str, test_pct: int = 20, split_col: str = "split"
+) -> DataFrame:
+    return df.withColumn(
+        split_col,
+        F.when(hash_bucket(F.col(group_col)) < test_pct, "test").otherwise("train"),
+    )

@@ -1,0 +1,95 @@
+"""Tumbling count-windows + the symbolic sequence dataset.
+
+Spark re-expression of the reference's window pipeline
+(/root/reference/timeseries/eeg_datasets.py:36-102):
+
+- W1 tumbling windows of ``sequence_length`` consecutive rows per group
+  (eeg_datasets.py:70) → ``row_number()`` over (group, order) then
+  ``floor((rn-1)/len)``;
+- W2 intra-window position = 1-based index (eeg_datasets.py:81-84);
+- A4 window class: 0 iff *every* row in the window is clean
+  (eeg_datasets.py:78), as ``min(label) == 1``;
+- W3 render: per-window ordered collect_list of symbolic facts joined to
+  one text row (eeg_datasets.py:80-89), e.g.
+  ``seq(17, sleep_cycle(n2), 4)`` … ``class(17, 0).``
+
+The per-window collect is bounded (sequence_length rows) so collect_list
+is safe at any corpus size; the only shuffle is the window partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STAGE_NAMES = ["wake", "n1", "n2", "n3", "rem"]  # eeg_datasets.py:40
+
+
+def with_count_window(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    length: int,
+    window_col: str = "window_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    rn = F.row_number().over(w)
+    return df.withColumn(window_col, F.floor((rn - 1) / length)).withColumn(
+        pos_col, rn - F.col(window_col) * length
+    )
+
+
+def window_class(
+    df: DataFrame, group_col: str, window_col: str, label_col: str
+) -> DataFrame:
+    """class 0 iff all labels in the window == 1 (all-clean rule)."""
+    return df.groupBy(group_col, window_col).agg(
+        F.when(F.min(label_col) == 1, 0).otherwise(1).alias("window_class"),
+        F.count("*").alias("window_len"),
+    )
+
+
+def symbolic_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    stage_col: str,
+    label_col: str,
+    length: int = 30,
+) -> DataFrame:
+    """→ (group, window_id, window_class, sequence_txt) — the train-row shape
+    of eeg_datasets.py:80-89, rendered with pure column expressions."""
+    win = with_count_window(df, group_col, order_col, length)
+    stage_name = F.element_at(
+        F.array(*[F.lit(s) for s in STAGE_NAMES]), F.col(stage_col) + 1
+    )
+    seq_id = F.concat_ws("_", F.col(group_col).cast("string"), F.col("window_id"))
+    fact = F.format_string(
+        "seq(%s, sleep_cycle(%s), %d)", seq_id, stage_name, F.col("pos")
+    )
+    per_row = win.select(
+        group_col, "window_id", "pos", F.col(label_col).alias("lbl"), fact.alias("fact"), seq_id.alias("sid")
+    )
+    agg = per_row.groupBy(group_col, "window_id").agg(
+        F.when(F.min("lbl") == 1, 0).otherwise(1).alias("window_class"),
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("fact")))
+                ),
+                lambda s: s["fact"],
+            ),
+        ).alias("facts_txt"),
+        F.first("sid").alias("sid"),
+    )
+    return agg.select(
+        group_col,
+        "window_id",
+        "window_class",
+        F.concat(
+            F.col("facts_txt"),
+            F.format_string(". class(%s, %d).", F.col("sid"), F.col("window_class")),
+        ).alias("sequence_txt"),
+    )

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "g1"),
+        (2, "the quick brown fox jumps over the lazy dog", "g1"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog", "g1"),  # near dup
+        (4, "completely different text about spark shuffles and joins", "g1"),
+        (5, "another unrelated document mentioning parquet files only", "g2"),
+        (6, "the quick brown fox jumps over the lazy cat", "g2"),  # near dup of 1
+    ]
+    return spark.createDataFrame(rows, "id long, text string, grp string")
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs, "text", "id").toPandas()
+    assert len(out) == 5  # 6 rows, one exact pair collapsed
+    dup = out[out.n_copies == 2]
+    assert len(dup) == 1 and dup.iloc[0]["keep_id"] == 1
+    want = hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert dup.iloc[0]["digest"] == want  # portable digest
+
+
+def test_minhash_identical_docs_share_all_bands(spark, docs):
+    pairs = D.minhash_candidates(docs, "id", "text").toPandas()
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    assert (1, 2) in got  # identical → all bands collide
+    # near-dups share most shingle mins → expect at least one of them
+    assert any(p in got for p in [(1, 3), (1, 6), (2, 3), (2, 6)])
+    # unrelated docs must not pair
+    assert (4, 5) not in got
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = D.ngram_jaccard_pairs(
+        docs, "id", "text", threshold=0.3, shingle_k=3
+    ).toPandas()
+    m = {(r.a, r.b): r.jaccard for r in pairs.itertuples()}
+    assert m[(1, 2)] == 1.0
+    assert 0.3 <= m[(1, 3)] < 1.0
+    assert (4, 5) not in m
+
+
+def test_simhash_exact_match_for_identical(spark, docs):
+    sh = D.simhash(docs, "text").toPandas().set_index("id")["simhash"]
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < 2**16
+    # near-dup within small hamming distance
+    ham = bin(int(sh[1]) ^ int(sh[3])).count("1")
+    assert ham <= 4
+    ham_far = bin(int(sh[1]) ^ int(sh[4])).count("1")
+    assert ham_far > ham
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "g"),
+        (2, [0.99, 0.01, 0.0], "g"),
+        (3, [0.0, 1.0, 0.0], "g"),
+        (4, [1.0, 0.0, 0.0], "other"),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>, grp string")
+    out = D.embedding_cosine_pairs(df, "id", "v", "grp", threshold=0.95).toPandas()
+    got = set(map(tuple, out[["a", "b"]].values))
+    assert got == {(1, 2)}  # 3 orthogonal; 4 in another group

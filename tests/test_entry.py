@@ -1,0 +1,82 @@
+"""Local replica of the driver's correctness gate: every queries() entry vs
+its oracle_sql() under DuckDB at sf0.01 — row count, column names, and
+order-insensitive value equality."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif np.issubdtype(pdf[c].dtype, np.floating):
+            pdf[c] = pdf[c].round(6)
+        elif str(pdf[c].dtype) in ("Int64", "UInt64") or np.issubdtype(
+            pdf[c].dtype, np.integer
+        ):
+            pdf[c] = pdf[c].astype("int64")
+        elif pdf[c].dtype == bool:
+            pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+ORACLE = E.oracle_sql()
+ALL = E.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_vs_oracle(spark, ddb, name):
+    sdf = ALL[name](spark, SF_DIR).toPandas()
+    ddf = ddb.execute(ORACLE[name]).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        sorted(sdf.columns),
+        sorted(ddf.columns),
+    )
+    assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
+    a, b = _canon(sdf), _canon(ddf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = ALL[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert "keep" in pdf.columns
+    # deterministic across invocations
+    pdf2 = E.entry(spark).toPandas()
+    a = pdf.sort_values(["repo", "path"]).reset_index(drop=True)
+    b = pdf2.sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,110 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions import text as TX
+from data_quality_spark.operators import similarity as S
+from data_quality_spark.operators import splits as SP
+from data_quality_spark.operators import windows as W
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8)).round(4)
+    query = vecs[0].tolist()
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(50)], "id long, v array<double>"
+    )
+    got = S.brute_force_topk(df, "id", "v", query, k=5).toPandas()
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    want = np.argsort(-sims, kind="stable")[:5].tolist()
+    assert got["id"].tolist() == want
+    assert got.iloc[0]["cosine"] == 1.0
+
+
+def test_lsh_topk_finds_same_bucket_neighbors(spark):
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(8)
+    vecs = [base + rng.standard_normal(8) * 0.01 for _ in range(5)] + [
+        -base + rng.standard_normal(8) * 0.01 for _ in range(5)
+    ]
+    vecs = [v.round(4).tolist() for v in vecs]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    planes = S.hyperplanes(8, n_planes=4, seed=7)
+    out = S.lsh_topk(df, "id", "v", vecs[0], planes, k=10).toPandas()
+    assert set(out["id"]) == {0, 1, 2, 3, 4}  # only the query's half-space
+
+
+def test_count_window_and_class(spark):
+    rows = [("f1", e, 1 if e < 60 else 0) for e in range(65)]
+    df = spark.createDataFrame(rows, "file string, epoch int, label int")
+    win = W.with_count_window(df, "file", "epoch", 30)
+    cls = W.window_class(win, "file", "window_id", "label").toPandas()
+    cls = cls.set_index("window_id").sort_index()
+    assert cls.loc[0, "window_class"] == 0  # epochs 0-29 all clean
+    assert cls.loc[1, "window_class"] == 0  # 30-59 all clean
+    assert cls.loc[2, "window_class"] == 1  # 60-64 dirty
+    assert cls.loc[2, "window_len"] == 5  # short tail window kept
+
+
+def test_symbolic_sequences_render(spark):
+    rows = [("f1", e, e % 5, 1) for e in range(30)]
+    df = spark.createDataFrame(rows, "file string, epoch int, stage int, label int")
+    out = W.symbolic_sequences(df, "file", "epoch", "stage", "label", 30).toPandas()
+    assert len(out) == 1
+    txt = out.iloc[0]["sequence_txt"]
+    assert txt.startswith("seq(f1_0, sleep_cycle(wake), 1). ")
+    assert "sleep_cycle(rem)" in txt
+    assert txt.endswith(". class(f1_0, 0).")
+
+
+def test_group_split_coherent(spark, files_df):
+    out = SP.with_group_split(files_df, "repo").toPandas()
+    per_repo = out.groupby("repo")["split"].nunique()
+    assert (per_repo == 1).all()
+    frac = (out.split == "test").mean()
+    assert 0.03 < frac < 0.6  # hash split lands near 20%, repo sizes vary
+
+
+def test_row_split_deterministic(spark):
+    df = spark.range(1000)
+    a = SP.with_row_split(df, "id").toPandas()
+    b = SP.with_row_split(df, "id").toPandas()
+    assert (a.split == b.split).all()
+    frac = (a.split == "test").mean()
+    assert 0.15 < frac < 0.25
+
+
+def test_text_functions(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog was in the house"),
+        (2, "xqzt blorp wug nif karv plon zzt"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = df.select(
+        "id",
+        TX.token_count(F.col("t")).alias("ntok"),
+        TX.heuristic_langid(F.col("t")).alias("lang"),
+        F.round(TX.stopword_ratio(F.col("t")), 6).alias("swr"),
+        TX.doc_fingerprint(F.col("t")).alias("fp"),
+        F.round(TX.char_entropy(F.col("t")), 6).alias("ent"),
+        TX.quality_score(F.col("t")).alias("q"),
+    ).toPandas().set_index("id")
+    assert out.loc[1, "ntok"] == 13
+    assert out.loc[3, "ntok"] == 0
+    assert out.loc[1, "lang"] == "en" and out.loc[2, "lang"] == "other"
+    assert out.loc[1, "swr"] > 0.3
+    assert out.loc[1, "fp"] != out.loc[2, "fp"] and out.loc[1, "fp"] >= 0
+    assert out.loc[1, "ent"] > 2.0
+    assert out.loc[1, "q"] > out.loc[2, "q"]
+    # fingerprint is order-sensitive
+    df2 = spark.createDataFrame([(1, "cat the sat")], "id long, t string")
+    df3 = spark.createDataFrame([(1, "the cat sat")], "id long, t string")
+    fp2 = df2.select(TX.doc_fingerprint(F.col("t")).alias("f")).collect()[0]["f"]
+    fp3 = df3.select(TX.doc_fingerprint(F.col("t")).alias("f")).collect()[0]["f"]
+    assert fp2 != fp3
