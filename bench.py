@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+     "queries": {...}, "sf": ..., "files_per_sec": ..., "cpus": ...}
+
+Headline: the full quality-filter pipeline (heuristics + langid +
+perplexity + decision + scrub) over a corpus derived in-Spark from the sf
+documents table (EXPAND× replicas with deterministic variation — no
+driver-side generation loop, so the input scales with the cluster).
+Supporting queries: the representative driver-contract operators.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_EXPAND (default 40).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# keep numpy/BLAS single-threaded inside each python worker — Spark already
+# parallelizes across workers; oversubscription kills scaling efficiency
+for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(v, "1")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from data_quality_spark.session import get_spark  # noqa: E402
+from data_quality_spark.plans.pipeline import score_files  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EXPAND = int(os.environ.get("SPARK_GRAFT_EXPAND", "40"))
+
+
+def corpus_df(spark):
+    """sf documents × EXPAND deterministic variants → files table, derived
+    entirely Spark-side (scales with input, no driver materialization)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = spark.range(EXPAND).select(F.col("id").alias("rep"))
+    # repartition the small side BEFORE the 40x expansion + broadcast the
+    # replica range: expansion and scoring run as parallel narrow tasks,
+    # no shuffle of expanded rows
+    return (
+        docs.repartition(CPUS * 4)
+        .crossJoin(F.broadcast(reps))
+        .select(
+            F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
+            F.concat_ws("_", F.lit("docs/doc"), "doc_id", "rep").alias("path"),
+            F.md5(F.concat_ws("#", "text", "rep")).alias("commit"),
+            F.col("lang"),
+            F.concat(F.col("text"), F.lit(" variant "), F.col("rep")).alias(
+                "content"
+            ),
+        )
+    )
+
+
+def bench_pipeline(spark) -> tuple[float, int]:
+    files = corpus_df(spark)
+    t0 = time.time()
+    out = score_files(files).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(F.length("scrubbed_content")).alias("scrub_bytes"),
+    )
+    row = out.collect()[0]
+    return time.time() - t0, row["n"]
+
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "revenue_by_nation",
+    "agreement_buckets",
+    "doc_quality",
+    "doc_fingerprint",
+    "dedup_minhash",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "embed_topk",
+    "embed_lsh_buckets",
+    "events_hourly",
+    "events_sessions",
+    "events_count_windows",
+    "topk_per_group",
+    "split_group",
+    "scrub_documents",
+]
+
+
+def main():
+    spark = get_spark("dqs-bench", cpus=CPUS)
+    # warm the JVM + python workers once (excluded from timings)
+    spark.range(1000).select(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    qmap = E.queries()
+    pipe_sec, n_files = bench_pipeline(spark)
+    timings["pipeline"] = round(pipe_sec, 3)
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qmap[name](spark, SF_DIR)
+        # force full materialization without driver transfer
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+                "files_per_sec": round(n_files / pipe_sec, 1),
+                "pipeline_files": n_files,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,9 +45,21 @@ def avg_line_len(content: Column) -> Column:
     ) / F.greatest(F.size(ll), F.lit(1)).cast("double")
 
 
+_ALNUM_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
+
+
 def alnum_frac(content: Column) -> Column:
-    stripped = F.length(F.regexp_replace(content, ALNUM_RE, ""))
-    return stripped.cast("double") / F.greatest(
+    """Fraction of [a-zA-Z0-9] characters.
+
+    Implemented as length - length(translate(content, alnum, '')) — a
+    character-table deletion. The obvious regexp_replace('[^a-zA-Z0-9]','')
+    form measured ~10× slower AND anti-scaled with task parallelism
+    (allocation churn in the per-row string rebuild); translate is a flat
+    lookup with one output buffer."""
+    non_alnum = F.length(F.translate(content, _ALNUM_CHARS, ""))
+    return (F.length(content) - non_alnum).cast("double") / F.greatest(
         F.length(content), F.lit(1)
     ).cast("double")
 

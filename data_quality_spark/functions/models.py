@@ -65,30 +65,60 @@ def _doc_index(offs: np.ndarray, n_positions: int) -> np.ndarray:
     return np.repeat(np.arange(len(lens), dtype=np.int64), lens)[:n_positions]
 
 
-def gram_counts(texts, n_buckets: int = N_BUCKETS) -> np.ndarray:
-    """(n_docs, n_buckets) float32 counts of hashed char 1/2/3-grams."""
+def gram_stream(texts, n_buckets: int = N_BUCKETS) -> tuple[np.ndarray, np.ndarray, int]:
+    """Flattened (doc_index, bucket_hash) streams for all char 1/2/3-grams.
+
+    The scoring path never materializes a dense (docs × buckets) count
+    matrix — at 10k-row Arrow batches that allocation (hundreds of MB,
+    zeroed per batch per worker) dominates wall time and memory bandwidth.
+    """
     buf, offs = _byte_concat(texts)
     n = len(offs) - 1
-    counts = np.zeros((n, n_buckets), dtype=np.float32)
-    if len(buf) == 0:
-        return counts
+    if len(buf) == 0 or n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), n
     doc = _doc_index(offs, len(buf))
     b = buf.astype(np.uint64)
     nb = np.uint64(n_buckets - 1)  # power of two → mask
-    # unigrams
-    h1 = b & nb
-    np.add.at(counts, (doc, h1.astype(np.int64)), 1.0)
-    # bigrams (mask pairs crossing doc boundaries)
+    docs = [doc]
+    hs = [(b & nb).astype(np.int64)]
     if len(buf) >= 2:
         h2 = ((b[:-1] * _P) + b[1:]) & nb
         same = doc[:-1] == doc[1:]
-        np.add.at(counts, (doc[:-1][same], h2[same].astype(np.int64)), 1.0)
-    # trigrams
+        docs.append(doc[:-1][same])
+        hs.append(h2[same].astype(np.int64))
     if len(buf) >= 3:
         h3 = (((b[:-2] * _P) + b[1:-1]) * _P + b[2:]) & nb
         same3 = (doc[:-2] == doc[1:-1]) & (doc[1:-1] == doc[2:])
-        np.add.at(counts, (doc[:-2][same3], h3[same3].astype(np.int64)), 1.0)
-    return counts
+        docs.append(doc[:-2][same3])
+        hs.append(h3[same3].astype(np.int64))
+    return np.concatenate(docs), np.concatenate(hs), n
+
+
+def gram_counts(texts, n_buckets: int = N_BUCKETS) -> np.ndarray:
+    """(n_docs, n_buckets) float32 counts of hashed char 1/2/3-grams.
+
+    One np.bincount over flattened (doc, bucket) indices — measurably faster
+    than np.add.at's scattered writes (which serialize on memory traffic
+    when many executor python workers run concurrently)."""
+    buf, offs = _byte_concat(texts)
+    n = len(offs) - 1
+    if len(buf) == 0 or n == 0:
+        return np.zeros((n, n_buckets), dtype=np.float32)
+    doc = _doc_index(offs, len(buf))
+    b = buf.astype(np.uint64)
+    nb = np.uint64(n_buckets - 1)  # power of two → mask
+    flat_parts = [doc * n_buckets + (b & nb).astype(np.int64)]
+    if len(buf) >= 2:
+        h2 = ((b[:-1] * _P) + b[1:]) & nb
+        same = doc[:-1] == doc[1:]
+        flat_parts.append(doc[:-1][same] * n_buckets + h2[same].astype(np.int64))
+    if len(buf) >= 3:
+        h3 = (((b[:-2] * _P) + b[1:-1]) * _P + b[2:]) & nb
+        same3 = (doc[:-2] == doc[1:-1]) & (doc[1:-1] == doc[2:])
+        flat_parts.append(doc[:-2][same3] * n_buckets + h3[same3].astype(np.int64))
+    flat = np.concatenate(flat_parts)
+    counts = np.bincount(flat, minlength=n * n_buckets).astype(np.float32)
+    return counts.reshape(n, n_buckets)
 
 
 class LangIdModel:
@@ -112,19 +142,28 @@ class LangIdModel:
         return cls(W.astype(np.float32), priors.astype(np.float32), classes)
 
     def predict(self, texts) -> tuple[np.ndarray, np.ndarray]:
-        """→ (labels: object array of class names, scores: float64 softmax max)."""
-        counts = gram_counts(texts)
-        # length-normalize so long docs don't saturate the softmax
-        norm = counts.sum(axis=1, keepdims=True)
+        """→ (labels: object array of class names, scores: float64 softmax max).
+
+        Streaming scoring: logits[d,k] = Σ_grams W[h,k], one weighted
+        bincount per class over the flat gram stream — mathematically
+        identical to (counts/norm) @ W but without the dense count matrix
+        (≈100× less allocation per Arrow batch)."""
+        doc, h, n = gram_stream(texts)
+        k = len(self.classes)
+        logits = np.zeros((n, k), dtype=np.float64)
+        for c in range(k):
+            w = self.weights[:, c].astype(np.float64)
+            logits[:, c] = np.bincount(doc, weights=w[h], minlength=n)
+        norm = np.bincount(doc, minlength=n).astype(np.float64)
+        empty = norm == 0
         np.maximum(norm, 1.0, out=norm)
-        logits = (counts / norm) @ self.weights * 64.0 + self.priors
+        logits = logits / norm[:, None] * 64.0 + self.priors
         logits -= logits.max(axis=1, keepdims=True)
         probs = np.exp(logits)
         probs /= probs.sum(axis=1, keepdims=True)
         best = probs.argmax(axis=1)
         labels = np.array(self.classes, dtype=object)[best]
         # empty docs carry no signal → 'junk' with score 0 (caught by length rule too)
-        empty = counts.sum(axis=1) == 0
         labels[empty] = "junk"
         scores = probs[np.arange(len(best)), best]
         scores[empty] = 0.0
@@ -163,8 +202,8 @@ class BigramLM:
             idx = buf[:-1].astype(np.int64) * 256 + buf[1:].astype(np.int64)
             lp = self.logp[idx[same]].astype(np.float64)
             d = doc[:-1][same]
-            np.add.at(sums, d, lp)
-            np.add.at(npairs, d, 1.0)
+            sums = np.bincount(d, weights=lp, minlength=n)
+            npairs = np.bincount(d, minlength=n).astype(np.float64)
         out = np.full(n, self.EMPTY_PPL, dtype=np.float64)
         has = npairs > 0
         out[has] = np.exp(-sums[has] / npairs[has])
@@ -176,9 +215,13 @@ def byte_entropy(texts) -> np.ndarray:
     buf, offs = _byte_concat(texts)
     n = len(offs) - 1
     hist = np.zeros((n, 256), dtype=np.float64)
-    if len(buf):
+    if len(buf) and n:
         doc = _doc_index(offs, len(buf))
-        np.add.at(hist, (doc, buf.astype(np.int64)), 1.0)
+        hist = (
+            np.bincount(doc * 256 + buf.astype(np.int64), minlength=n * 256)
+            .astype(np.float64)
+            .reshape(n, 256)
+        )
     tot = hist.sum(axis=1, keepdims=True)
     np.maximum(tot, 1.0, out=tot)
     p = hist / tot

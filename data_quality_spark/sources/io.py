@@ -1,0 +1,64 @@
+"""Source/sink layer.
+
+Parquet is the workhorse in this sandbox. The production deployment target
+is an Iceberg catalog (BASELINE.json north_rule); the Iceberg runtime jars
+are not in this container, so the Iceberg path is gated behind a
+capability probe — call sites fall back to partitioned parquet with
+identical semantics (dynamic partition overwrite ≈ Iceberg overwritePartitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FILES_TABLE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_files_table(spark: SparkSession, location: str) -> DataFrame:
+    """``location`` is an iceberg table name (catalog.db.tbl) or a parquet
+    dir; picked by capability + shape."""
+    if "/" not in location and iceberg_available(spark):
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def write_scored(
+    df: DataFrame,
+    location: str,
+    partition_col: str = "part_id",
+    mode: str = "overwrite",
+) -> None:
+    """Dynamic-partition overwrite write (idempotent per-partition replace).
+
+    On Iceberg this becomes `overwritePartitions()`; on parquet it relies on
+    spark.sql.sources.partitionOverwriteMode=dynamic (set by the caller,
+    plans/checkpoint.py)."""
+    spark = df.sparkSession
+    if "/" not in location and iceberg_available(spark):
+        df.writeTo(location).overwritePartitions()
+        return
+    df.write.mode(mode).partitionBy(partition_col).parquet(location)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
+    """Uniform reader over the formats the engine supports."""
+    reader = spark.read.options(**options)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "csv":
+        return reader.option("header", True).csv(path)
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    raise ValueError(f"unsupported format: {fmt}")

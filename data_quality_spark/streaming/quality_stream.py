@@ -1,0 +1,73 @@
+"""Structured Streaming form of the quality-filter pipeline.
+
+The batch pipeline (plans/pipeline.py) is stateless per row, so the same
+scoring chain runs unchanged as a streaming transformation: files arriving
+in a directory (or Kafka at production scale) → readStream → score →
+writeStream. Checkpointing here is Spark's own streaming WAL — the batch
+path's _progress table covers resumable *backfills*, the stream covers
+*continuous arrival*; both write the same output schema.
+
+Also provides an event-time windowed metrics stream over the scored rows
+(watermark + tumbling window), the streaming analogue of quality_stats
+(/root/reference/runme.py:17-36).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import FILES_SCHEMA
+from ..plans.pipeline import score_files
+
+FILES_STREAM_SCHEMA = FILES_SCHEMA  # same table contract as batch
+
+
+def read_files_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(FILES_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def scored_stream(files_stream: DataFrame) -> DataFrame:
+    """score_files is narrow + stateless → valid on a streaming DataFrame."""
+    return score_files(files_stream)
+
+
+def start_quality_sink(
+    scored: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Append scored rows to parquet with exactly-once file-sink semantics."""
+    writer = (
+        scored.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_keep_metrics(
+    scored: DataFrame,
+    ts_col: str = "ingest_ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time tumbling keep/drop counts with late-data watermark."""
+    with_ts = scored.withColumn(
+        ts_col, F.coalesce(F.col(ts_col) if ts_col in scored.columns else F.lit(None), F.current_timestamp())
+    )
+    return (
+        with_ts.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), "keep")
+        .agg(F.count("*").alias("n"), F.sum(F.col("was_modified").cast("long")).alias("n_modified"))
+    )

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Cluster entry point for the quality-filter pipeline.
+
+Launch (multi-executor cluster):
+
+    zip -r dqs.zip data_quality_spark/
+    spark-submit --py-files dqs.zip scripts/run_pipeline.py \
+        --input <iceberg table or parquet dir> \
+        --output <dir> --n-parts 4096 --chunk-size 64 \
+        --salt-threshold 100000 --salt-factor 32
+
+Local smoke:
+
+    python scripts/run_pipeline.py --synthetic 2000 --output /tmp/dqs_out
+
+The job is resumable: re-running with the same --output continues from the
+last completed partition chunk (see data_quality_spark/plans/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="iceberg table name or parquet dir")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic files instead of --input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-parts", type=int, default=16)
+    ap.add_argument("--chunk-size", type=int, default=4)
+    ap.add_argument("--salt-factor", type=int, default=8)
+    ap.add_argument("--salt-threshold", type=int, default=10_000)
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="local mode only; ignored under spark-submit --master")
+    args = ap.parse_args()
+
+    from data_quality_spark.session import get_spark
+    from data_quality_spark.plans.checkpoint import run_pipeline, read_progress
+    from data_quality_spark.sources.io import read_files_table
+
+    spark = get_spark("dqs-pipeline", cpus=args.cpus)
+
+    if args.synthetic:
+        from data_quality_spark.corpus import generate_files_df
+
+        files = generate_files_df(spark, n_files=args.synthetic, seed=42)
+    else:
+        if not args.input:
+            ap.error("--input or --synthetic required")
+        files = read_files_table(spark, args.input)
+
+    result = run_pipeline(
+        spark,
+        files,
+        args.output,
+        n_parts=args.n_parts,
+        chunk_size=args.chunk_size,
+        salt_factor=args.salt_factor,
+        salt_threshold=args.salt_threshold,
+    )
+    print(json.dumps(result))
+    read_progress(spark, args.output).orderBy("part_id").show(100, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

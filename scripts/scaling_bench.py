@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (sandbox proxy for N vs 4N executors).
+
+Runs the SAME pipeline job (score_files over the EXPAND×documents corpus,
+same input, same partition count) in two fresh JVMs: local[N] and local[4N].
+Reports throughput at both + scaling efficiency = (T_N / T_4N) / 4 into
+BENCH.md. north_rule target: efficiency ≥ 0.8.
+
+N defaults to 2 (so 4N = 8): in local mode every task thread is paired
+with a python UDF worker process, so a local[K] job keeps ~2K threads hot;
+keeping 2·4N ≤ host cores measures Spark's scaling rather than host
+oversubscription (which a real multi-executor cluster would not have).
+
+Usage: python scripts/scaling_bench.py [--expand 40] [--n-cores 2] [--repeat 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOB = r"""
+import os, sys, json, time
+for v in ("OMP_NUM_THREADS","OPENBLAS_NUM_THREADS","MKL_NUM_THREADS"):
+    os.environ[v] = "1"
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from data_quality_spark.session import get_spark
+from data_quality_spark.plans.pipeline import score_files
+
+cpus = int(sys.argv[1]); expand = int(sys.argv[2]); sf_dir = sys.argv[3]
+spark = get_spark(f"scaling-{{cpus}}", cpus=cpus)
+spark.range(1000).select(F.sum("id")).collect()   # JVM+worker warmup
+
+docs = spark.read.parquet(f"{{sf_dir}}/documents.parquet")
+reps = spark.range(expand).select(F.col("id").alias("rep"))
+# fixed partition count (128) at BOTH parallelism levels: identical work
+# units. Repartition the SMALL side before expansion and broadcast the
+# replica range, so the 40x blow-up + scoring run in 128 parallel narrow
+# tasks with no shuffle of expanded rows.
+files = (docs.repartition(128)
+    .crossJoin(F.broadcast(reps))
+    .select(
+        F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
+        F.concat_ws("_", F.lit("docs/doc"), "doc_id", "rep").alias("path"),
+        F.md5(F.concat_ws("#", "text", "rep")).alias("commit"),
+        F.col("lang"),
+        F.concat(F.col("text"), F.lit(" variant "), F.col("rep")).alias("content")))
+
+# materialize the identical input ONCE outside the timed region ("same
+# input" per the rule) — corpus synthesis is not part of the measured job
+files = files.persist()
+files.count()
+
+best = None
+for _ in range(int(sys.argv[4])):
+    t0 = time.time()
+    row = (score_files(files)
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("keep").cast("long")).alias("k"),
+                F.sum(F.length("scrubbed_content")).alias("b"))
+           .collect()[0])
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({{"cpus": cpus, "sec": round(best, 3), "files": row["n"],
+                   "files_per_sec": round(row["n"] / best, 1)}}))
+"""
+
+
+def run(cpus: int, expand: int, sf_dir: str, repeat: int) -> dict:
+    """Run the job pinned to exactly ``cpus`` host CPUs (taskset), so
+    'cluster size N' means N cores TOTAL — JVM task threads and python UDF
+    workers share them, exactly like executors on a real host. Without the
+    pin, a local[N] job quietly uses ~2N host cores and the comparison
+    flatters the small configuration."""
+    code = JOB.format(repo=REPO)
+    cmd = [sys.executable, "-c", code, str(cpus), str(expand), sf_dir, str(repeat)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True, cwd=REPO
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--expand", type=int, default=80)
+    ap.add_argument("--n-cores", type=int, default=2, help="N; 4N is run too. Keep 2*(N+4N) <= host cores so JVM task threads and python UDF workers never oversubscribe (local-mode artifact a real cluster does not have).")
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    n = run(args.n_cores, args.expand, args.sf_dir, args.repeat)
+    n4 = run(args.n_cores * 4, args.expand, args.sf_dir, args.repeat)
+    eff = (n["sec"] / n4["sec"]) / 4.0
+    result = {f"N(local[{args.n_cores}])": n, f"4N(local[{args.n_cores*4}])": n4, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result))
+
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(
+            "# BENCH — measured numbers (sandbox: single host, local mode)\n\n"
+            "## Two-cluster-size scaling (north_rule proxy: N vs 4N cores)\n\n"
+            "Same job (full quality-filter pipeline: heuristics + langid +\n"
+            "perplexity UDF + decision + scrub over the EXPAND×documents\n"
+            f"corpus, {n['files']} files), same input, fixed 128 partitions,\n"
+            "fresh JVM per run, best of "
+            f"{args.repeat}:\n\n"
+            "| cluster size | wall sec | files/sec |\n|---|---|---|\n"
+            f"| N = local[{args.n_cores}] | {n['sec']} | {n['files_per_sec']} |\n"
+            f"| 4N = local[{args.n_cores * 4}] | {n4['sec']} | {n4['files_per_sec']} |\n\n"
+            f"**Scaling efficiency = (T_N / T_4N) / 4 = {round(eff, 3)}** "
+            "(target ≥ 0.8).\n\n"
+            "Hot path is Arrow-vectorized pandas UDFs + codegen'd Column\n"
+            "expressions (no BatchEvalPython in any plan — asserted in\n"
+            "tests/test_pipeline.py); numpy/BLAS pinned to 1 thread per\n"
+            "worker so Spark task parallelism is the only scaling axis.\n\n"
+            "## Suite timings\n\nSee BENCH_r{N}.json (driver-recorded, "
+            "`python bench.py`).\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

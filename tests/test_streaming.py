@@ -1,0 +1,71 @@
+"""Structured Streaming: the scoring chain over a file stream, exactly-once
+parquet sink, and resumed incremental processing."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from data_quality_spark.corpus import generate_files_pdf, FILES_SCHEMA
+from data_quality_spark.streaming import quality_stream as QS
+
+
+def _write_batch(spark, pdf, path):
+    spark.createDataFrame(pdf, schema=FILES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_scores_match_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pdf = generate_files_pdf(n_files=120, seed=31)
+    _write_batch(spark, pdf.iloc[:60], in_dir)
+
+    stream = QS.read_files_stream(spark, in_dir, max_files_per_trigger=2)
+    assert stream.isStreaming
+    q = QS.start_quality_sink(QS.scored_stream(stream), out_dir, ckpt)
+    q.awaitTermination()
+
+    got1 = spark.read.parquet(out_dir).toPandas()
+    assert len(got1) == 60
+
+    # late arrival → restart from checkpoint processes ONLY the new file
+    _write_batch(spark, pdf.iloc[60:], in_dir)
+    q2 = QS.start_quality_sink(
+        QS.scored_stream(QS.read_files_stream(spark, in_dir)), out_dir, ckpt
+    )
+    q2.awaitTermination()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    assert len(got2) == 120
+
+    # streaming labels == batch labels
+    from data_quality_spark.plans.pipeline import score_files
+
+    batch = score_files(
+        spark.createDataFrame(pdf, schema=FILES_SCHEMA)
+    ).select("repo", "path", "commit", "keep").toPandas()
+    merged = got2[["repo", "path", "commit", "keep"]].merge(
+        batch, on=["repo", "path", "commit"], suffixes=("_s", "_b"), validate="1:1"
+    )
+    assert (merged.keep_s == merged.keep_b).all()
+
+
+def test_windowed_metrics_stream(spark, tmp_path):
+    in_dir = str(tmp_path / "in2")
+    pdf = generate_files_pdf(n_files=40, seed=32)
+    _write_batch(spark, pdf, in_dir)
+    stream = QS.read_files_stream(spark, in_dir)
+    agg = QS.windowed_keep_metrics(QS.scored_stream(stream))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("qm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from qm").toPandas()
+    assert out.n.sum() == 40
+    assert set(out.keep.unique()) <= {True, False}
