@@ -794,6 +794,30 @@ SQL_SCRUB_DOCUMENTS = r"""
 """
 
 
+def q_string_render(spark, sf_dir):
+    """P10/P11: symbolic-fact rendering (format_string) + dict decode via a
+    literal array (the reference's class_mapping, eeg_datasets.py:40,:83)."""
+    ann = _annotations(spark, sf_dir)
+    stage_names = F.array(*[F.lit(s) for s in WIN.STAGE_NAMES])
+    stage = F.greatest(F.col("ground_truth"), F.lit(0))
+    fact = F.format_string(
+        "seq(%d, sleep_cycle(%s), %d)",
+        F.col("sample_id"),
+        F.element_at(stage_names, stage + 1),
+        (F.col("sample_id") % 30 + 1).cast("int"),
+    )
+    return ann.select("sample_id", fact.alias("fact"))
+
+
+SQL_STRING_RENDER = f"""
+    SELECT sample_id,
+           printf('seq(%d, sleep_cycle(%s), %d)', sample_id,
+                  (['wake','n1','n2','n3','rem'])[greatest(ground_truth, 0) + 1],
+                  sample_id % 30 + 1) AS fact
+    FROM ({_ANNOT_SQL}) ann
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible: model UDFs, full pipeline)
 
@@ -912,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_row": q_split_row,
         "split_group": q_split_group,
         "scrub_documents": q_scrub_documents,
+        "string_render": q_string_render,
         "pipeline_keep_drop": q_pipeline_keep_drop,
         "pipeline_metrics": q_pipeline_metrics,
         "symbolic_sequences": q_symbolic_sequences,
@@ -957,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
         "split_row": SQL_SPLIT_ROW,
         "split_group": SQL_SPLIT_GROUP,
         "scrub_documents": SQL_SCRUB_DOCUMENTS,
+        "string_render": SQL_STRING_RENDER,
         # pipeline_keep_drop / pipeline_metrics / symbolic_sequences:
         # model-UDF / collect_list-render based → rows-only checks.
     }

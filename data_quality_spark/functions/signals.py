@@ -1,0 +1,185 @@
+"""Signal-feature extraction — the reference's EEG feature pipeline (U2-U5)
+re-expressed as Arrow-vectorized pandas UDFs over array columns.
+
+Reference semantics being re-expressed (NOT ported — numpy-only here, the
+reference uses mne/yasa/librosa):
+- per-epoch spectral band power of the highest band, per channel
+  (/root/reference/timeseries/eeg_features.py:42-71)
+- muscle-artifact count = #annotations where a band-limited z-score exceeds
+  a threshold (/root/reference/timeseries/eeg_features.py:18-40)
+- STFT magnitude spectrogram + dB conversion
+  (/root/reference/timeseries/eeg_datasets.py:198-202)
+- NaN repair before the transform (/root/reference/timeseries/eeg_datasets.py:162-164)
+
+All cores are plain-numpy batch functions (shared with the pytest oracle);
+the Spark wrappers move whole Arrow batches, never rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# frequency bands (Hz) — classic EEG bands + a high band for artifacts
+BANDS = [(0.5, 4.0), (4.0, 8.0), (8.0, 12.0), (12.0, 30.0), (30.0, 50.0)]
+ARTIFACT_BAND = (55.0, 70.0)
+ARTIFACT_Z = 5.0  # eeg_features.py:25-39: z-score > 5 in the high band
+
+
+def _as_matrix(series_of_arrays) -> np.ndarray:
+    return np.vstack([np.asarray(x, dtype=np.float64) for x in series_of_arrays])
+
+
+def psd_matrix(x: np.ndarray, fs: float) -> tuple[np.ndarray, np.ndarray]:
+    """(n, t) signals → (freqs, (n, t//2+1) periodogram), batch rfft."""
+    x = np.nan_to_num(x)  # NaN repair, eeg_datasets.py:162-164
+    n = x.shape[1]
+    win = np.hanning(n)
+    spec = np.abs(np.fft.rfft(x * win, axis=1)) ** 2
+    spec /= (win * win).sum() * fs
+    freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+    return freqs, spec
+
+
+def band_powers(x: np.ndarray, fs: float) -> np.ndarray:
+    """(n, len(BANDS)) relative band power (rows normalized to sum 1 over
+    bands — the reference normalizes PSDs row-wise, eeg_features.py:60)."""
+    freqs, spec = psd_matrix(x, fs)
+    out = np.zeros((x.shape[0], len(BANDS)))
+    for j, (lo, hi) in enumerate(BANDS):
+        sel = (freqs >= lo) & (freqs < hi)
+        out[:, j] = spec[:, sel].sum(axis=1)
+    tot = out.sum(axis=1, keepdims=True)
+    np.maximum(tot, 1e-12, out=tot)
+    return out / tot
+
+
+def artifact_counts(x: np.ndarray, fs: float) -> np.ndarray:
+    """Per row: count of samples whose high-band z-score exceeds ARTIFACT_Z.
+
+    Band-limit via FFT mask (numpy-only stand-in for the reference's notch +
+    mne filtering), then a ROBUST z-score (median/MAD) per epoch: a
+    localized burst must stand out against the quiet background, which a
+    plain std-based z cannot do for sustained oscillations (crest factor of
+    a sine is only √2 < 5)."""
+    x = np.nan_to_num(x)
+    n = x.shape[1]
+    freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+    spec = np.fft.rfft(x, axis=1)
+    mask = (freqs >= ARTIFACT_BAND[0]) & (freqs < ARTIFACT_BAND[1])
+    hi = np.fft.irfft(spec * mask[None, :], n=n, axis=1)
+    med = np.median(hi, axis=1, keepdims=True)
+    mad = np.median(np.abs(hi - med), axis=1, keepdims=True) * 1.4826
+    np.maximum(mad, 1e-12, out=mad)
+    z = np.abs((hi - med) / mad)
+    return (z > ARTIFACT_Z).sum(axis=1).astype(np.int64)
+
+
+def stft_mag(x: np.ndarray, n_fft: int = 64, hop: int = 32) -> np.ndarray:
+    """(n, t) → (n, frames, n_fft//2+1) magnitude spectrogram (batched
+    sliding-window rfft; numpy stand-in for librosa.stft)."""
+    x = np.nan_to_num(x)
+    n, t = x.shape
+    if t < n_fft:
+        x = np.pad(x, ((0, 0), (0, n_fft - t)))
+        t = n_fft
+    frames = 1 + (t - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(frames)[:, None]
+    windows = x[:, idx] * np.hanning(n_fft)[None, None, :]
+    return np.abs(np.fft.rfft(windows, axis=2))
+
+
+def amplitude_to_db(s: np.ndarray, ref: str = "max", top_db: float = 80.0) -> np.ndarray:
+    """20·log10(S/ref(S)) clipped at -top_db (librosa.amplitude_to_db
+    semantics with ref=np.max, eeg_datasets.py:202)."""
+    mag = np.maximum(s, 1e-10)
+    refv = mag.max() if ref == "max" else float(ref)
+    db = 20.0 * np.log10(mag / refv)
+    return np.maximum(db, db.max() - top_db)
+
+
+_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("band_powers", T.ArrayType(T.DoubleType())),
+        T.StructField("hi_band_power", T.DoubleType()),
+        T.StructField("artifacts", T.IntegerType()),
+    ]
+)
+
+
+def make_signal_features_udf(fs: float):
+    """U2/U3/U4 in one Arrow pass: relative band powers, the last (highest)
+    band per the reference's spectral_features, artifact count."""
+
+    @F.pandas_udf(_FEATURES_TYPE)
+    def signal_features(sig: pd.Series) -> pd.DataFrame:
+        x = _as_matrix(sig)
+        bp = band_powers(x, fs)
+        art = artifact_counts(x, fs)
+        return pd.DataFrame(
+            {
+                "band_powers": [row.tolist() for row in bp],
+                "hi_band_power": bp[:, -1],
+                "artifacts": art.astype("int32"),
+            }
+        )
+
+    return signal_features
+
+
+_STFT_TYPE = T.StructType(
+    [
+        T.StructField("spectrogram", T.ArrayType(T.ArrayType(T.FloatType()))),
+        T.StructField("spectrogram_db", T.ArrayType(T.ArrayType(T.FloatType()))),
+    ]
+)
+
+
+def make_stft_udf(n_fft: int = 64, hop: int = 32):
+    """U5: STFT magnitude + per-epoch dB spectrogram (ref=max within epoch)."""
+
+    @F.pandas_udf(_STFT_TYPE)
+    def stft(sig: pd.Series) -> pd.DataFrame:
+        x = _as_matrix(sig)
+        mags = stft_mag(x, n_fft=n_fft, hop=hop)
+        specs, dbs = [], []
+        for m in mags:
+            specs.append(m.astype(np.float32).tolist())
+            dbs.append(amplitude_to_db(m).astype(np.float32).tolist())
+        return pd.DataFrame({"spectrogram": specs, "spectrogram_db": dbs})
+
+    return stft
+
+
+def spectrogram_dataset(
+    signals: DataFrame,
+    fs: float,
+    label_col: str = "label",
+    n_fft: int = 64,
+    hop: int = 32,
+) -> DataFrame:
+    """The create_spectrograms emitter (eeg_datasets.py:157-237), Spark-shaped:
+    epoch×channel fan-out via explode (no nested python loops), STFT as one
+    Arrow pass, output matching the reference's dataset columns."""
+    stft = make_stft_udf(n_fft=n_fft, hop=hop)
+    per_channel = signals.select(
+        F.col("file").alias("name"),
+        F.col("epoch"),
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("channel"), F.col("ch_af7").alias("raw")),
+                F.struct(F.lit(1).alias("channel"), F.col("ch_af8").alias("raw")),
+            )
+        ).alias("c"),
+    ).select("name", "epoch", "c.channel", F.col("c.raw").alias("raw_data"), "label")
+    out = per_channel.withColumn("_s", stft(F.col("raw_data")))
+    return out.select(
+        "name", "epoch", "channel", "raw_data",
+        F.col("_s.spectrogram").alias("spectrogram"),
+        F.col("_s.spectrogram_db").alias("spectrogram_db"),
+        "label",
+    )

@@ -1,0 +1,86 @@
+"""npz source (SURVEY §2.1 S1): read the reference's npz archives —
+parallel arrays x:(n,t,c), y:(n,4), fs:(1,l)
+(/root/reference/timeseries/eeg_features.py:6-16, measure.py:10-14) —
+into proper tables.
+
+Spark-shaped: ``spark.read.format("binaryFile")`` lists + reads the files
+distributed; one mapInPandas decodes each archive into rows (positional
+index → explicit sample_id, so the reference's fragile zip-join invariant
+(/root/reference/runme.py:50) becomes a real key).
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+NPZ_ROWS_SCHEMA = (
+    "file string, sample_id long, a1 int, a2 int, a3 int, ground_truth int, "
+    "fs int, epoch int, ch_af7 array<double>, ch_af8 array<double>"
+)
+
+
+def _decode(name: str, raw: bytes) -> pd.DataFrame:
+    npz = np.load(io.BytesIO(raw), allow_pickle=False)
+    x = np.nan_to_num(np.asarray(npz["x"], dtype=np.float64))
+    y = np.asarray(npz["y"], dtype=np.int64)
+    fs = int(np.asarray(npz["fs"]).squeeze().item())
+    n = x.shape[0]
+    assert y.shape[0] == n, "x/y row mismatch (runme.py:50 invariant)"
+    return pd.DataFrame(
+        {
+            "file": name,
+            "sample_id": np.arange(n, dtype=np.int64),
+            "a1": y[:, 0].astype("int32"),
+            "a2": y[:, 1].astype("int32"),
+            "a3": y[:, 2].astype("int32"),
+            "ground_truth": y[:, 3].astype("int32"),
+            "fs": np.int32(fs),
+            "epoch": np.arange(n, dtype=np.int32),
+            "ch_af7": [row.tolist() for row in x[:, :, 0]],
+            "ch_af8": [row.tolist() for row in x[:, :, 1]],
+        }
+    )
+
+
+def read_npz(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed npz scan → one row per (file, epoch)."""
+    binaries = spark.read.format("binaryFile").load(path_glob)
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for name, raw in zip(pdf["path"], pdf["content"]):
+                yield _decode(name.rsplit("/", 1)[-1], bytes(raw))
+
+    return binaries.select("path", "content").mapInPandas(
+        decode_batches, schema=NPZ_ROWS_SCHEMA
+    )
+
+
+def write_npz_fixture(
+    path: str, n: int = 90, t: int = 256, fs: int = 128, seed: int = 9
+) -> None:
+    """Deterministic npz fixture in the reference's exact array layout."""
+    rng = np.random.default_rng(seed)
+    tt = np.arange(t) / fs
+    base = np.sin(2 * np.pi * 6.0 * tt)  # theta-band tone
+    x = np.zeros((n, t, 2))
+    for i in range(n):
+        noise = rng.standard_normal((t, 2)) * 0.3
+        x[i, :, 0] = base * rng.uniform(0.5, 1.5) + noise[:, 0]
+        x[i, :, 1] = base * rng.uniform(0.5, 1.5) + noise[:, 1]
+        if i % 17 == 0:  # planted artifact burst in the high band
+            burst = np.sin(2 * np.pi * 60.0 * tt) * 8.0
+            x[i, t // 4 : t // 2, 0] += burst[t // 4 : t // 2]
+    gt = rng.integers(0, 5, n)
+    y = np.zeros((n, 4), dtype=np.int64)
+    y[:, 3] = gt
+    for k in range(3):
+        flip = rng.random(n) < 0.15
+        y[:, k] = np.where(flip, (gt + 1) % 5, gt)
+    y[::23, 3] = -1  # un-annotatable sentinel rows (measure.py:14)
+    np.savez(path, x=x, y=y, fs=np.array([[fs]]))

@@ -91,7 +91,7 @@ def run(cpus: int, expand: int, sf_dir: str, repeat: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--expand", type=int, default=80)
-    ap.add_argument("--n-cores", type=int, default=2, help="N; 4N is run too. Keep 2*(N+4N) <= host cores so JVM task threads and python UDF workers never oversubscribe (local-mode artifact a real cluster does not have).")
+    ap.add_argument("--n-cores", type=int, default=4, help="N; 4N is run too. Keep 2*(N+4N) <= host cores so JVM task threads and python UDF workers never oversubscribe (local-mode artifact a real cluster does not have).")
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -110,7 +110,10 @@ def main():
             "perplexity UDF + decision + scrub over the EXPAND×documents\n"
             f"corpus, {n['files']} files), same input, fixed 128 partitions,\n"
             "fresh JVM per run, best of "
-            f"{args.repeat}:\n\n"
+            f"{args.repeat}. Each run is PINNED (taskset) to exactly its\n"
+            "core budget, so 'cluster size N' = N host cores total shared\n"
+            "by JVM task threads AND python UDF workers — the same\n"
+            "contention profile as executors on a real cluster host:\n\n"
             "| cluster size | wall sec | files/sec |\n|---|---|---|\n"
             f"| N = local[{args.n_cores}] | {n['sec']} | {n['files_per_sec']} |\n"
             f"| 4N = local[{args.n_cores * 4}] | {n4['sec']} | {n4['files_per_sec']} |\n\n"

@@ -1,0 +1,93 @@
+"""Plan-quality gates: the physical plans the engine produces must have the
+shape we'd want on a 1000-executor cluster — pruned scans, pushed filters,
+broadcast dims, Arrow-only Python. These are assertions on .explain output,
+not timings, so they're stable in CI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_metrics_query_prunes_content(spark, tmp_path):
+    """A metrics aggregation over the scored output must not read the fat
+    content/scrubbed_content columns from parquet (column pruning)."""
+    from data_quality_spark.corpus import generate_files_df
+    from data_quality_spark.plans.pipeline import score_files
+
+    out = str(tmp_path / "scored")
+    score_files(generate_files_df(spark, 80, seed=3)).write.parquet(out)
+    metrics = (
+        spark.read.parquet(out)
+        .groupBy("keep")
+        .agg(F.count("*").alias("n"), F.avg("perplexity").alias("ppl"))
+    )
+    plan = _plan(metrics)
+    scan = plan[plan.index("FileScan") :].split("\n")[0]
+    assert "content" not in scan, scan
+    assert "keep" in scan and "perplexity" in scan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = E.queries()["tpch_q1"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(E.queries()["revenue_by_nation"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_resume_join_is_broadcast_anti(spark):
+    plan = _plan(E.queries()["resume_pending"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_entry_queries_never_batch_eval_python(spark):
+    for name, fn in E.queries().items():
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_agreement_score_is_codegen(spark):
+    """The agreement score path (P5-P7) must live inside WholeStageCodegen —
+    no UDF, no python."""
+    df = E.queries()["agreement_score"](spark, SF)
+    plan = _plan(df)
+    # '*(n)' prefixes mark WholeStageCodegen stages in the compact format
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "EvalPython" not in plan
+
+
+def test_split_filter_partition_prunes(spark, tmp_path):
+    """Writing partitioned by split then reading one split must prune
+    partitions at the source."""
+    from data_quality_spark.operators.splits import with_group_split
+
+    d = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("grp")
+    )
+    out = str(tmp_path / "split")
+    with_group_split(d, "grp").write.partitionBy("split").parquet(out)
+    rd = spark.read.parquet(out).filter(F.col("split") == "test")
+    plan = _plan(rd)
+    assert "PartitionFilters: [isnotnull(split" in plan.replace("#", " #").replace(
+        "split#", "split "
+    ) or "PartitionFilters" in plan
+    # and the filter really pruned: only 'test' directories scanned
+    scan_line = plan[plan.index("FileScan") :].split("\n")[0]
+    assert "split" in scan_line

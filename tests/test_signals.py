@@ -1,0 +1,116 @@
+"""Signal UDFs (U2-U5) vs the plain-numpy oracle + the npz source +
+the spectrogram dataset emitter shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions import signals as SG
+from data_quality_spark.sources.npz import read_npz, write_npz_fixture
+
+FS = 128
+
+
+@pytest.fixture(scope="module")
+def npz_rows(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("npz")
+    write_npz_fixture(str(d / "rec_a.npz"), n=90, seed=9)
+    write_npz_fixture(str(d / "rec_b.npz"), n=60, seed=10)
+    return read_npz(spark, str(d)).cache()
+
+
+def test_npz_scan_shape(npz_rows):
+    pdf = npz_rows.toPandas()
+    assert len(pdf) == 150
+    assert set(pdf.file) == {"rec_a.npz", "rec_b.npz"}
+    assert (pdf.fs == FS).all()
+    assert pdf.ch_af7.map(len).eq(256).all()
+    assert (pdf.ground_truth == -1).sum() > 0  # sentinel rows survived
+
+
+def test_band_power_udf_matches_numpy(spark, npz_rows):
+    udf = SG.make_signal_features_udf(fs=FS)
+    got = (
+        npz_rows.filter(F.col("file") == "rec_a.npz")
+        .withColumn("f", udf(F.col("ch_af7")))
+        .select("sample_id", "f.band_powers", "f.hi_band_power", "f.artifacts")
+        .toPandas()
+        .sort_values("sample_id")
+    )
+    raw = (
+        npz_rows.filter(F.col("file") == "rec_a.npz")
+        .select("sample_id", "ch_af7")
+        .toPandas()
+        .sort_values("sample_id")
+    )
+    x = np.vstack(raw.ch_af7.map(np.asarray))
+    want_bp = SG.band_powers(x, FS)
+    want_art = SG.artifact_counts(x, FS)
+    got_bp = np.vstack(got.band_powers.map(np.asarray))
+    np.testing.assert_allclose(got_bp, want_bp, rtol=1e-9)
+    np.testing.assert_array_equal(got.artifacts.to_numpy(), want_art)
+    # band powers are a distribution per row
+    np.testing.assert_allclose(got_bp.sum(axis=1), 1.0, rtol=1e-9)
+    # the 6 Hz tone sits in the theta band (4-8 Hz) → band 1 dominates
+    assert (got_bp.argmax(axis=1) == 1).mean() > 0.9
+
+
+def test_artifact_rows_detected(spark, npz_rows):
+    udf = SG.make_signal_features_udf(fs=FS)
+    got = (
+        npz_rows.filter(F.col("file") == "rec_a.npz")
+        .withColumn("f", udf(F.col("ch_af7")))
+        .select("sample_id", "f.artifacts")
+        .toPandas()
+    )
+    planted = set(range(0, 90, 17))
+    flagged = set(got[got.artifacts > 0].sample_id)
+    assert planted <= flagged  # every planted 60 Hz burst found
+    assert len(flagged) < 30  # and not everything flagged
+
+
+def test_stft_matches_numpy_and_db_semantics(spark, npz_rows):
+    udf = SG.make_stft_udf(n_fft=64, hop=32)
+    got = (
+        npz_rows.filter((F.col("file") == "rec_b.npz") & (F.col("sample_id") < 4))
+        .withColumn("s", udf(F.col("ch_af8")))
+        .select("sample_id", "s.spectrogram", "s.spectrogram_db")
+        .toPandas()
+        .sort_values("sample_id")
+    )
+    raw = (
+        npz_rows.filter((F.col("file") == "rec_b.npz") & (F.col("sample_id") < 4))
+        .select("sample_id", "ch_af8")
+        .toPandas()
+        .sort_values("sample_id")
+    )
+    x = np.vstack(raw.ch_af8.map(np.asarray))
+    want = SG.stft_mag(x, 64, 32)
+    for i in range(4):
+        got_m = np.asarray([list(r) for r in got.iloc[i]["spectrogram"]])
+        np.testing.assert_allclose(got_m, want[i], rtol=1e-5)
+        db = np.asarray([list(r) for r in got.iloc[i]["spectrogram_db"]])
+        assert db.max() == pytest.approx(0.0, abs=1e-4)  # ref=max → top is 0 dB
+        assert db.min() >= -80.0 - 1e-4  # top_db clip
+
+
+def test_spectrogram_dataset_shape(spark, npz_rows):
+    from data_quality_spark.functions.agreement import agreement_score, binarize
+
+    labeled = npz_rows.withColumn(
+        "label",
+        binarize(
+            agreement_score(
+                F.col("a1"), F.col("a2"), F.col("a3"), F.col("ground_truth")
+            )
+        ),
+    )
+    ds = SG.spectrogram_dataset(labeled, fs=FS).toPandas()
+    assert len(ds) == 150 * 2  # epoch × channel fan-out
+    assert set(ds.channel) == {0, 1}
+    assert list(ds.columns) == [
+        "name", "epoch", "channel", "raw_data",
+        "spectrogram", "spectrogram_db", "label",
+    ]
