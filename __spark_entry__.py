@@ -666,7 +666,12 @@ def q_events_sessions(spark, sf_dir):
     """Sessionize: new session when gap > 30 min; per-user session stats."""
     e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # microsecond-exact epoch (cast to double) — unix_timestamp() truncates
+    # to whole seconds and could disagree with the oracle's epoch() on gaps
+    # within a fraction of the 1800 s threshold
+    # (ts is TIMESTAMP_NTZ; session TZ is pinned UTC so NTZ→TS is identity)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
     marked = e.withColumn(
         "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     )
@@ -792,6 +797,107 @@ SQL_SCRUB_DOCUMENTS = r"""
            CAST(scrubbed <> text AS INTEGER) AS was_modified
     FROM s
 """
+
+
+def q_distinct_agg(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """union / intersect / except over customer key sets."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    return spark.createDataFrame(
+        [], "op string, n long"
+    ).unionByName(
+        building.union(finished).distinct().agg(
+            F.lit("union").alias("op"), F.count("*").alias("n")
+        )
+    ).unionByName(
+        building.distinct().intersect(finished.distinct()).agg(
+            F.lit("intersect").alias("op"), F.count("*").alias("n")
+        )
+    ).unionByName(
+        building.distinct().exceptAll(finished.distinct()).agg(
+            F.lit("except").alias("op"), F.count("*").alias("n")
+        )
+    )
+
+
+SQL_SET_OPS = """
+    WITH b AS (SELECT DISTINCT c_custkey AS k FROM customer
+               WHERE c_mktsegment = 'BUILDING'),
+         f AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_orderstatus = 'F')
+    SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT k FROM b UNION SELECT k FROM f) u
+    UNION ALL
+    SELECT 'intersect', CAST(count(*) AS BIGINT)
+      FROM (SELECT k FROM b INTERSECT SELECT k FROM f) i
+    UNION ALL
+    SELECT 'except', CAST(count(*) AS BIGINT)
+      FROM (SELECT k FROM b EXCEPT SELECT k FROM f) e
+"""
+
+
+def q_embed_cosine_dup(spark, sf_dir):
+    """Embedding near-dup pairs, LSH-bucket-blocked (the scale pattern:
+    O(n²) only within a bucket)."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucketed = e.withColumn("bucket", SIM.lsh_bucket(F.col("v"), PLANES))
+    pairs = DD.embedding_cosine_pairs(
+        bucketed, "vec_id", "v", "bucket", threshold=0.5
+    )
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+def _sql_embed_cosine_dup() -> str:
+    terms = []
+    for j, p in enumerate(PLANES):
+        lits = ", ".join(repr(float(x)) for x in p)
+        terms.append(
+            f"CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) > 0 "
+            f"THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {bucket} AS bucket FROM e
+    )
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           round(list_dot_product(l.v, r.v)
+                 / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+                 6) AS cosine
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE list_dot_product(l.v, r.v)
+          / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) >= 0.5
+    """
 
 
 def q_string_render(spark, sf_dir):
@@ -937,6 +1043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_group": q_split_group,
         "scrub_documents": q_scrub_documents,
         "string_render": q_string_render,
+        "distinct_agg": q_distinct_agg,
+        "set_ops": q_set_ops,
+        "embed_cosine_dup": q_embed_cosine_dup,
         "pipeline_keep_drop": q_pipeline_keep_drop,
         "pipeline_metrics": q_pipeline_metrics,
         "symbolic_sequences": q_symbolic_sequences,
@@ -983,6 +1092,9 @@ def oracle_sql() -> dict[str, str]:
         "split_group": SQL_SPLIT_GROUP,
         "scrub_documents": SQL_SCRUB_DOCUMENTS,
         "string_render": SQL_STRING_RENDER,
+        "distinct_agg": SQL_DISTINCT_AGG,
+        "set_ops": SQL_SET_OPS,
+        "embed_cosine_dup": _sql_embed_cosine_dup(),
         # pipeline_keep_drop / pipeline_metrics / symbolic_sequences:
         # model-UDF / collect_list-render based → rows-only checks.
     }
