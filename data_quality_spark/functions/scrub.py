@@ -21,7 +21,11 @@ import pandas as pd
 SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
     (
         "email",
-        re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+        # local part = RFC 5321 atext (+ dots); found by property testing:
+        # the common [A-Za-z0-9._%+-] class misses legal addresses like *@x.co
+        re.compile(
+            r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~.-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        ),
         "<EMAIL>",
     ),
     ("aws_key", re.compile(r"AKIA[0-9A-Z]{16}"), "<AWS_KEY>"),

@@ -1,0 +1,66 @@
+"""Streaming exact-dedup — a custom stateful operator via
+applyInPandasWithState.
+
+Continuous-arrival twin of operators/dedup.exact_dedup: the first row of
+each content digest passes through, later copies (within or across
+micro-batches) are dropped. State is kept per digest-prefix BUCKET (not per
+digest), so state rows stay bounded and the shuffle key is low-cardinality
+— the same bucketing discipline the batch pipeline uses for repos. At
+production scale the seen-set per bucket would be a bloom filter; here it's
+the exact set (the semantics the tests pin down are identical).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "bucket string, repo string, path string, commit string, "
+    "lang string, content string, digest string"
+)
+STATE_SCHEMA = "seen array<string>"
+N_BUCKET_CHARS = 2  # 256 buckets
+
+
+def with_digest_bucket(files: DataFrame) -> DataFrame:
+    return files.withColumn("digest", F.md5("content")).withColumn(
+        "bucket", F.substring("digest", 1, N_BUCKET_CHARS)
+    )
+
+
+def _dedup_group(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen: set = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        fresh_mask = []
+        for d in pdf["digest"]:
+            if d in seen:
+                fresh_mask.append(False)
+            else:
+                seen.add(d)
+                fresh_mask.append(True)
+        out = pdf[fresh_mask]
+        if len(out):
+            yield out[
+                ["bucket", "repo", "path", "commit", "lang", "content", "digest"]
+            ]
+    state.update((sorted(seen),))
+
+
+def streaming_exact_dedup(files_stream: DataFrame) -> DataFrame:
+    """files stream → first-copy-only stream (stateful across batches)."""
+    bucketed = with_digest_bucket(files_stream)
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

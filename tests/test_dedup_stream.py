@@ -1,0 +1,47 @@
+"""Stateful streaming dedup: duplicates dropped within AND across
+micro-batches, state persisted through the checkpoint."""
+
+from __future__ import annotations
+
+from data_quality_spark.corpus import FILES_SCHEMA, generate_files_pdf
+from data_quality_spark.streaming.dedup_stream import streaming_exact_dedup
+from data_quality_spark.streaming.quality_stream import read_files_stream
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    pdf = generate_files_pdf(n_files=80, seed=55)
+    uniq = pdf.drop_duplicates(subset=["content"])
+
+    # batch 1: originals; batch 2: full duplicates of batch 1 with new paths
+    spark.createDataFrame(pdf, FILES_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        q = (
+            streaming_exact_dedup(read_files_stream(spark, in_dir))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got1 = spark.read.parquet(out_dir).toPandas()
+    assert len(got1) == len(uniq)  # within-batch dups collapsed
+    assert got1.digest.is_unique
+
+    dup2 = pdf.copy()
+    dup2["path"] = dup2["path"] + ".copy"
+    spark.createDataFrame(dup2, FILES_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    # every row of batch 2 is a content-dup of batch 1 → state dropped all
+    assert len(got2) == len(uniq)
+    assert got2.digest.is_unique
+    assert not got2.path.str.endswith(".copy").any()

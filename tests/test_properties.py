@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the engine's pure cores — these run
+without Spark, checking the invariants the distributed path relies on."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_quality_spark.functions import models as M
+from data_quality_spark.functions.scrub import scrub_series, scrub_text
+from data_quality_spark.oracle import heuristic_features
+
+text_st = st.text(max_size=400)
+texts_st = st.lists(text_st, min_size=0, max_size=20)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_st)
+def test_scrub_idempotent_and_sha_stable(texts):
+    s = pd.Series(texts, dtype=object)
+    once = scrub_series(s)
+    twice = scrub_series(once)
+    assert (once == twice).all()
+    # untouched rows are byte-identical (sha256 invariant)
+    for orig, scr in zip(s.fillna(""), once):
+        if scr == orig:
+            assert (
+                hashlib.sha256(orig.encode()).hexdigest()
+                == hashlib.sha256(scr.encode()).hexdigest()
+            )
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.emails())
+def test_scrub_always_masks_emails(email):
+    out = scrub_text(f"contact {email} now")
+    assert email not in out
+    assert "<EMAIL>" in out
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_st)
+def test_entropy_bounds(texts):
+    ent = M.byte_entropy(texts)
+    assert np.all(ent >= -1e-9)
+    assert np.all(ent <= 8.0 + 1e-9)  # ≤ 8 bits/byte
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_st)
+def test_perplexity_positive_and_empty_sentinel(texts):
+    ppl = M.get_bigram_lm().perplexity(texts)
+    assert np.all(ppl > 0)
+    for t, p in zip(texts, ppl):
+        if len(t.encode("utf-8", "replace")) < 2:
+            assert p == M.BigramLM.EMPTY_PPL
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts_st)
+def test_langid_scores_are_probabilities(texts):
+    labels, scores = M.get_langid_model().predict(texts)
+    assert np.all(scores >= 0) and np.all(scores <= 1.0 + 1e-12)
+    assert all(l in M.LANGID_CLASSES for l in labels)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts_st)
+def test_langid_batch_invariance(texts):
+    """Scoring a batch must equal scoring each text alone (no cross-doc
+    leakage through the concatenated gram buffer)."""
+    model = M.get_langid_model()
+    labels_b, scores_b = model.predict(texts)
+    for i, t in enumerate(texts):
+        l1, s1 = model.predict([t])
+        assert l1[0] == labels_b[i]
+        assert abs(s1[0] - scores_b[i]) < 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(text_st)
+def test_heuristic_features_match_python_semantics(t):
+    f = heuristic_features(pd.Series([t], dtype=object)).iloc[0]
+    lines = t.split("\n")
+    assert f.n_lines == len(lines)
+    assert f.n_chars == len(t)
+    assert f.max_line_len == (max((len(x) for x in lines), default=0))
+    assert 0.0 <= f.alnum_frac <= 1.0
+    assert 0.0 <= f.dup_line_ratio < 1.0 or (f.dup_line_ratio == 0.0)
