@@ -152,29 +152,50 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard over candidate pairs.
+    """Exact word-k-gram Jaccard between documents (threshold > 0).
 
-    ``group_col`` bounds the self-join (blocking key) — at scale pass the
-    LSH band bucket or a cheap blocking key, never None (full cross join)."""
+    Scalable formulation: explode distinct shingles → self-join on the
+    shingle (+ optional blocking ``group_col``) → count co-occurrences per
+    pair (= |A∩B|) → join per-doc shingle counts (broadcast) →
+    |A∪B| = |A|+|B|−|A∩B|. No per-pair array_intersect: the naive
+    pair-join recomputes an O(|A|+|B|) set intersection per candidate (and
+    Catalyst evaluates it twice, once in Filter once in Project) — measured
+    ~6× slower at sf0.1. Pairs with an empty intersection never materialize,
+    which is equivalent for any threshold > 0."""
     sh = df.select(
-        F.col(key_col),
-        *([F.col(group_col)] if group_col else []),
+        F.col(key_col).alias("k"),
+        *([F.col(group_col).alias("g")] if group_col else []),
         _shingles(text_col, shingle_k).alias("sh"),
     )
-    l, r = sh.alias("l"), sh.alias("r")
-    cond = F.col(f"l.{key_col}") < F.col(f"r.{key_col}")
+    sizes = sh.select("k", F.size("sh").alias("sz"))
+    words = sh.select(
+        "k", *(["g"] if group_col else []), F.explode("sh").alias("w")
+    )
+    l, r = words.alias("l"), words.alias("r")
+    on = [F.col("l.w") == F.col("r.w"), F.col("l.k") < F.col("r.k")]
     if group_col:
-        cond = cond & (F.col(f"l.{group_col}") == F.col(f"r.{group_col}"))
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+        on.append(F.col("l.g") == F.col("r.g"))
+    inter = (
+        l.join(r, on)
+        .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("k").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("k").alias("b"), F.col("sz").alias("szb"))
+    # no broadcast hint: sizes is one row per doc (not broadcastable at
+    # corpus scale); AQE picks broadcast automatically when it fits
     return (
-        l.join(r, cond)
+        inter.join(sa, "a")
+        .join(sb, "b")
         .select(
-            F.col(f"l.{key_col}").alias("a"),
-            F.col(f"r.{key_col}").alias("b"),
-            (inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")).alias(
-                "jaccard"
-            ),
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / F.greatest(
+                    F.col("sza") + F.col("szb") - F.col("inter"), F.lit(1)
+                ).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
