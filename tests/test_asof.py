@@ -1,0 +1,60 @@
+"""As-of join: composed (join+window) and merge_asof implementations must
+agree with each other and with hand-computed expectations."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from data_quality_spark.operators.asof import asof_join, asof_join_pandas
+
+ROWS_L = [  # (id, key, ts)
+    (1, "u1", 10.0),
+    (2, "u1", 25.0),
+    (3, "u2", 5.0),
+    (4, "u3", 50.0),  # u3 has no right rows at all
+]
+ROWS_R = [  # (key, ts)
+    ("u1", 8.0),
+    ("u1", 10.0),  # equal ts: at-or-before matches
+    ("u1", 24.0),
+    ("u2", 6.0),  # after the only left row → no match for id=3
+]
+
+
+def _frames(spark):
+    left = spark.createDataFrame(ROWS_L, "id long, k string, ts double")
+    right = spark.createDataFrame(ROWS_R, "k string, rts double")
+    return left, right
+
+
+def test_asof_join_composed(spark):
+    left, right = _frames(spark)
+    out = (
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                  right_cols=[], left_id="id")
+        .toPandas()
+        .sort_values("id")
+    )
+    got = dict(zip(out.id, out.asof_rts))
+    assert got == {1: 10.0, 2: 24.0}  # id3: right row is later; id4: no rows
+
+
+def test_asof_join_pandas_matches_composed(spark):
+    left, right = _frames(spark)
+    a = (
+        asof_join(left, right, "k", "ts", "rts", [], "id")
+        .select("id", "k", "ts", "asof_rts")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    b = (
+        asof_join_pandas(
+            left, right, "k", "ts", "rts", [],
+            output_schema="id long, k string, ts double, asof_rts double",
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
