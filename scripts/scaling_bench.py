@@ -11,6 +11,8 @@ with a python UDF worker process, so a local[K] job keeps ~2K threads hot;
 keeping 2·4N ≤ host cores measures Spark's scaling rather than host
 oversubscription (which a real multi-executor cluster would not have).
 
+NOTE: rewrites BENCH.md — run BEFORE skew_bench.py (which appends).
+
 Usage: python scripts/scaling_bench.py [--expand 40] [--n-cores 2] [--repeat 2]
 """
 
