@@ -729,6 +729,87 @@ SQL_EVENTS_JSON = """
 """
 
 
+def q_rollup_hierarchy(spark, sf_dir):
+    """Hypertable-style rollup: day-level aggregates computed THROUGH the
+    minute→hour→day partial-aggregate hierarchy (operators/rollup.py); the
+    oracle aggregates raw rows directly at day level — equality proves the
+    re-aggregation algebra."""
+    from data_quality_spark.operators.rollup import finalize, rollup_hierarchy
+
+    e = _read(spark, sf_dir, "events").select("ts", "event_type", "value")
+    levels = rollup_hierarchy(e, "ts", "value", keys=["event_type"])
+    day = finalize(levels["day"])
+    return day.select(
+        F.unix_timestamp(F.col("bucket")).cast("bigint").alias("day_epoch"),
+        "event_type",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.col("cnt_v").alias("cnt_v"),
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
+SQL_ROLLUP_HIERARCHY = """
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           event_type,
+           round(sum(value), 4) AS sum_v,
+           CAST(count(value) AS BIGINT) AS cnt_v,
+           round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v,
+           round(sum(value) / count(value), 6) AS avg_v
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact percentiles (Spark `percentile` ≡ DuckDB quantile_cont, both
+    linear interpolation). The at-scale variant is percentile_approx /
+    t-digest — sketch internals differ per engine, so the oracle-checked
+    query pins the exact form."""
+    e = _read(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+SQL_QUANTILES = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+"""
+
+
+def q_pivot_event_types(spark, sf_dir):
+    """Pivot via .pivot() with explicit column values (plan = conditional
+    aggregation; oracle spells out the same conditional aggregates)."""
+    e = _read(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 4))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0.0)).alias(f"sum_{k}") for k in kinds]
+    )
+
+
+SQL_PIVOT = """
+    SELECT user_id,
+           coalesce(round(sum(CASE WHEN event_type='click' THEN value END), 4), 0.0) AS sum_click,
+           coalesce(round(sum(CASE WHEN event_type='view' THEN value END), 4), 0.0) AS sum_view,
+           coalesce(round(sum(CASE WHEN event_type='purchase' THEN value END), 4), 0.0) AS sum_purchase,
+           coalesce(round(sum(CASE WHEN event_type='signup' THEN value END), 4), 0.0) AS sum_signup,
+           coalesce(round(sum(CASE WHEN event_type='error' THEN value END), 4), 0.0) AS sum_error
+    FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # splits + scrub
 
@@ -1083,6 +1164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "embed_cosine_dup": q_embed_cosine_dup,
         "asof_join": q_asof_join,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "quantiles": q_quantiles,
+        "pivot_event_types": q_pivot_event_types,
         "pipeline_keep_drop": q_pipeline_keep_drop,
         "pipeline_metrics": q_pipeline_metrics,
         "symbolic_sequences": q_symbolic_sequences,
@@ -1133,6 +1217,9 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": SQL_SET_OPS,
         "embed_cosine_dup": _sql_embed_cosine_dup(),
         "asof_join": SQL_ASOF_JOIN,
+        "rollup_hierarchy": SQL_ROLLUP_HIERARCHY,
+        "quantiles": SQL_QUANTILES,
+        "pivot_event_types": SQL_PIVOT,
         # pipeline_keep_drop / pipeline_metrics / symbolic_sequences:
         # model-UDF / collect_list-render based → rows-only checks.
     }

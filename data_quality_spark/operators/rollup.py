@@ -1,0 +1,72 @@
+"""Hierarchical time rollups (hypertable-style continuous aggregates).
+
+Multi-resolution aggregation where each coarser level is computed FROM the
+next finer level's partial aggregates, never from raw rows:
+
+    raw → minute(sum, count, min, max) → hour → day
+
+The algebra: sum-of-sums, min-of-mins, max-of-maxs, count-of-counts; avg is
+derived (sum/count) only at read time. This is exactly how a 100 TB metrics
+table stays queryable — the day-level scan touches day-level partials, and
+an incremental refresh only recomputes the buckets whose inputs changed.
+Correctness gate: rolling up through the hierarchy must equal aggregating
+raw rows directly at the coarse level (tests + DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AGG_STATE = ["sum_v", "cnt_v", "min_v", "max_v"]
+
+
+def aggregate_raw(
+    df: DataFrame, ts_col: str, value_col: str, resolution: str, keys: list[str]
+) -> DataFrame:
+    """Raw rows → partial-aggregate state at ``resolution`` (date_trunc unit)."""
+    bucket = F.date_trunc(resolution, F.col(ts_col)).alias("bucket")
+    return df.groupBy(bucket, *keys).agg(
+        F.sum(value_col).alias("sum_v"),
+        F.count(value_col).alias("cnt_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def rollup_level(
+    partial: DataFrame, resolution: str, keys: list[str]
+) -> DataFrame:
+    """Finer partial-aggregate state → coarser state (re-aggregation only)."""
+    bucket = F.date_trunc(resolution, F.col("bucket")).alias("bucket")
+    return partial.groupBy(bucket, *keys).agg(
+        F.sum("sum_v").alias("sum_v"),
+        F.sum("cnt_v").alias("cnt_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def rollup_hierarchy(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    resolutions: list[str] = ("minute", "hour", "day"),
+) -> dict[str, DataFrame]:
+    """Build the full hierarchy; each level derives from the previous."""
+    out: dict[str, DataFrame] = {}
+    finest, *coarser = resolutions
+    level = aggregate_raw(df, ts_col, value_col, finest, keys)
+    out[finest] = level
+    for res in coarser:
+        level = rollup_level(level, res, keys)
+        out[res] = level
+    return out
+
+
+def finalize(partial: DataFrame) -> DataFrame:
+    """Partial state → user-facing aggregates (avg derived at read time)."""
+    return partial.select(
+        "*", (F.col("sum_v") / F.col("cnt_v")).alias("avg_v")
+    )

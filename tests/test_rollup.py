@@ -1,0 +1,55 @@
+"""Hierarchical rollup: coarse levels computed from fine partials must equal
+direct aggregation of raw rows — the algebra that makes incremental
+continuous aggregates valid."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators.rollup import (
+    aggregate_raw,
+    finalize,
+    rollup_hierarchy,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _canon(pdf):
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return (
+        pdf.sort_values(list(pdf.columns)).reset_index(drop=True).sort_index(axis=1)
+    )
+
+
+def test_hierarchy_equals_direct(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet").select("ts", "event_type", "value")
+    levels = rollup_hierarchy(e, "ts", "value", keys=["event_type"])
+    for res in ["hour", "day"]:
+        via_hierarchy = finalize(levels[res]).toPandas()
+        direct = finalize(
+            aggregate_raw(e, "ts", "value", res, ["event_type"])
+        ).toPandas()
+        a, b = _canon(via_hierarchy), _canon(direct)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_partial_state_is_mergeable_incrementally(spark):
+    """Split raw input in two halves, roll each up, merge states → same as
+    one-shot (the incremental-refresh property)."""
+    from data_quality_spark.operators.rollup import rollup_level
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    h1 = aggregate_raw(e.filter("event_id % 2 = 0"), "ts", "value", "minute", ["event_type"])
+    h2 = aggregate_raw(e.filter("event_id % 2 = 1"), "ts", "value", "minute", ["event_type"])
+    merged = rollup_level(h1.unionByName(h2), "hour", ["event_type"])
+    oneshot = aggregate_raw(e, "ts", "value", "hour", ["event_type"])
+    a = _canon(merged.toPandas())
+    b = _canon(oneshot.toPandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9, rtol=0)
