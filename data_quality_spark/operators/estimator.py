@@ -1,0 +1,65 @@
+"""Quality estimation task — the reference's conceptual layer, Spark-first.
+
+/root/reference/README.md defines the framework this engine implements:
+  - data quality: "a numerical valuation of whether including an instance
+    to the training data will make the task more likely to fail"
+  - quality estimator: a model that predicts quality labels
+  - quality estimation task: LEARNING a quality estimator from a dataset
+    with quality labels (README.md, conceptual sections)
+
+Here: learn a distributed estimator (pyspark.ml LogisticRegression) that
+predicts the rule-based keep/drop label from the pipeline's cheap feature
+columns. Two production uses: (a) a learned keep/drop model can replace
+hand-tuned thresholds once enough labeled data exists; (b) feature→label
+agreement is a drift monitor — a drop in the estimator's F1 against the
+rule labels flags distribution shift between corpus snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_COLS = [
+    "n_chars",
+    "n_lines",
+    "max_line_len",
+    "avg_line_len",
+    "alnum_frac",
+    "dup_line_ratio",
+    "entropy",
+    "log_perplexity",
+]
+
+
+def training_frame(scored: DataFrame) -> DataFrame:
+    """Scored pipeline output → (features vector, label) frame."""
+    with_feats = scored.withColumn(
+        "log_perplexity", F.log(F.greatest(F.col("perplexity"), F.lit(1e-9)))
+    ).withColumn("label", F.col("keep").cast("double"))
+    assembler = VectorAssembler(
+        inputCols=FEATURE_COLS, outputCol="features", handleInvalid="keep"
+    )
+    return assembler.transform(with_feats).select("features", "label")
+
+
+def fit_quality_estimator(scored: DataFrame, max_iter: int = 50):
+    """Learn the estimator (distributed LBFGS)."""
+    lr = LogisticRegression(maxIter=max_iter, regParam=0.01)
+    return lr.fit(training_frame(scored))
+
+
+def evaluate_estimator(model, scored: DataFrame) -> dict:
+    """F1 of the learned estimator against the rule labels."""
+    pred = model.transform(training_frame(scored))
+    agg = pred.select(
+        F.sum(((F.col("prediction") == 1.0) & (F.col("label") == 1.0)).cast("long")).alias("tp"),
+        F.sum(((F.col("prediction") == 1.0) & (F.col("label") == 0.0)).cast("long")).alias("fp"),
+        F.sum(((F.col("prediction") == 0.0) & (F.col("label") == 1.0)).cast("long")).alias("fn"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"], agg["fp"], agg["fn"]
+    f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+    return {"f1": f1, "tp": tp, "fp": fp, "fn": fn, "n": agg["n"]}

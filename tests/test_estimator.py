@@ -1,0 +1,24 @@
+"""Quality estimation task (README.md conceptual layer): a learned
+estimator over the cheap features must recover the rule-based keep/drop
+labels with high F1 — and generalize to a held-out corpus seed."""
+
+from __future__ import annotations
+
+from data_quality_spark.corpus import generate_files_df
+from data_quality_spark.operators.estimator import (
+    evaluate_estimator,
+    fit_quality_estimator,
+)
+from data_quality_spark.plans.pipeline import score_files
+
+
+def test_learned_estimator_recovers_rule_labels(spark):
+    train = score_files(generate_files_df(spark, 700, seed=21)).cache()
+    model = fit_quality_estimator(train)
+    m_train = evaluate_estimator(model, train)
+    assert m_train["f1"] >= 0.95, m_train
+
+    # held-out corpus (different seed → different files, same distribution)
+    test = score_files(generate_files_df(spark, 400, seed=22))
+    m_test = evaluate_estimator(model, test)
+    assert m_test["f1"] >= 0.9, m_test
