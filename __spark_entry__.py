@@ -1045,6 +1045,21 @@ SQL_STRING_RENDER = f"""
 # rows-only (non-SQL-expressible: model UDFs, full pipeline)
 
 
+def q_embed_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer + cluster probe) — rows-only check:
+    the quantizer is pyspark.ml KMeans (seeded/deterministic) which DuckDB
+    cannot replicate; the recall-vs-brute-force gate lives in
+    tests/test_ivf.py."""
+    from data_quality_spark.operators.similarity import ivf_index, ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["v"]]
+    assigned, centroids = ivf_index(e, "vec_id", "v", n_clusters=16)
+    return ivf_topk(assigned, centroids, "vec_id", "v", qv, k=10, n_probe=4)
+
+
 def q_pipeline_keep_drop(spark, sf_dir):
     """Full quality-filter pipeline over the deterministic synthetic corpus
     (langid + perplexity UDFs are model-based → no SQL oracle; driver does
@@ -1167,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hierarchy": q_rollup_hierarchy,
         "quantiles": q_quantiles,
         "pivot_event_types": q_pivot_event_types,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "pipeline_keep_drop": q_pipeline_keep_drop,
         "pipeline_metrics": q_pipeline_metrics,
         "symbolic_sequences": q_symbolic_sequences,

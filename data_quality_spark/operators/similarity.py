@@ -88,3 +88,49 @@ def topk_per_group(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_index(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    seed: int = 7,
+):
+    """IVF coarse quantizer: k-means centroids (pyspark.ml, distributed) +
+    cluster assignment per vector. At scale the assignment is persisted with
+    the table (partitioned by cluster → partition pruning at query time).
+
+    Returns (assigned_df with 'ivf_cluster', centroids ndarray)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        key_col, F.col(vec_col).alias("_arr")
+    ).withColumn("_fv", array_to_vector(F.col("_arr")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="ivf_cluster")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(
+        key_col, F.col("_arr").alias(vec_col), "ivf_cluster"
+    )
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    key_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: probe the n_probe nearest centroids' clusters only, then
+    exact cosine within. The scan fraction is ~n_probe/n_clusters of the
+    corpus (with partition pruning when the table is cluster-partitioned)."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:n_probe]]
+    cand = assigned.filter(F.col("ivf_cluster").isin(probe))
+    return brute_force_topk(cand, key_col, vec_col, query, k)

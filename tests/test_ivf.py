@@ -1,0 +1,51 @@
+"""IVF ANN: recall vs brute force on the driver embeddings table, and the
+scan-fraction property (candidates ≪ corpus)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_index,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .cache()
+    )
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    assigned, centroids = ivf_index(embeddings, "vec_id", "v", n_clusters=16)
+    assigned = assigned.cache()
+    queries = [r["v"] for r in embeddings.filter(F.col("vec_id") < 5).collect()]
+    recalls = []
+    for qv in queries:
+        exact = set(brute_force_topk(embeddings, "vec_id", "v", qv, 10).toPandas().vec_id)
+        approx = set(ivf_topk(assigned, centroids, "vec_id", "v", qv, 10, n_probe=4).toPandas().vec_id)
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls  # 4/16 clusters probed
+
+
+def test_ivf_probes_fraction_of_corpus(spark, embeddings):
+    assigned, centroids = ivf_index(embeddings, "vec_id", "v", n_clusters=16)
+    qv = embeddings.filter(F.col("vec_id") == 0).collect()[0]["v"]
+    import numpy as np
+
+    d = ((centroids - np.asarray(qv)[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:4]]
+    n_cand = assigned.filter(F.col("ivf_cluster").isin(probe)).count()
+    n_all = assigned.count()
+    assert n_cand < n_all  # strictly less than a full scan
+    assert assigned.select("ivf_cluster").distinct().count() > 4
