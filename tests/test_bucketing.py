@@ -1,0 +1,39 @@
+"""Bucketing: pre-bucketed tables co-locate equi-joins — the physical plan
+must show no shuffle (Exchange) on either side of the join. This is the
+'bucketing for co-located joins' lever the 100 TB layout relies on for
+repeated joins on (repo) / (doc key)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # (uses the session's default warehouse dir — spark-warehouse/, which is
+    # gitignored; warehouse.dir is a static conf and can't move per-test)
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("x")
+    )
+    right = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("y")
+    )
+    left.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_left")
+    right.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_right")
+
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_left").join(spark.table("b_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == 5_000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
