@@ -55,6 +55,14 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(_t(sf_dir, name))
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin session TZ for queries that convert TIMESTAMP_NTZ → epoch: the
+    DuckDB oracle's epoch() treats naive timestamps as UTC, and Spark's
+    NTZ→TIMESTAMP cast / unix_timestamp go through the session TZ. The
+    driver's session may not be UTC — pin it here, per query."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 # ---------------------------------------------------------------------------
 # derived annotations (shared between the agreement queries):
 # deterministic pseudo-annotators from orders keys, hitting every branch of
@@ -611,6 +619,7 @@ SQL_TOPK_PER_GROUP = """
 
 
 def q_events_hourly(spark, sf_dir):
+    _utc(spark)
     e = _read(spark, sf_dir, "events").select("ts", "event_type", "value")
     return (
         e.groupBy(
@@ -664,6 +673,7 @@ SQL_EVENTS_COUNT_WINDOWS = """
 
 def q_events_sessions(spark, sf_dir):
     """Sessionize: new session when gap > 30 min; per-user session stats."""
+    _utc(spark)
     e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact epoch (cast to double) — unix_timestamp() truncates
@@ -736,6 +746,7 @@ def q_rollup_hierarchy(spark, sf_dir):
     re-aggregation algebra."""
     from data_quality_spark.operators.rollup import finalize, rollup_hierarchy
 
+    _utc(spark)
     e = _read(spark, sf_dir, "events").select("ts", "event_type", "value")
     levels = rollup_hierarchy(e, "ts", "value", keys=["event_type"])
     day = finalize(levels["day"])
@@ -988,6 +999,7 @@ def q_asof_join(spark, sf_dir):
     so same-timestamp ties cannot produce engine-dependent rows."""
     from data_quality_spark.operators.asof import asof_join
 
+    _utc(spark)
     e = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
