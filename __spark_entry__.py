@@ -331,8 +331,7 @@ def _sql_dedup_minhash() -> str:
     k = MINHASH_K
     sigs = ", ".join(
         f"list_min(list_transform(sh, s -> "
-        f"((('0x'||substring(md5(s),1,8))::BIGINT * {2 * i + 1} + {7919 * (i + 1)})"
-        f" % 2147483647))) AS s{i}"
+        f"((s * {2 * i + 1} + {7919 * (i + 1)}) % 2147483647))) AS s{i}"
         for i in range(MINHASH_NUM)
     )
     rows_per_band = MINHASH_NUM // MINHASH_BANDS
@@ -345,15 +344,26 @@ def _sql_dedup_minhash() -> str:
         + ")"
         for b in range(MINHASH_BANDS)
     )
+    # rolling word-hash combiner, mirroring operators/dedup._shingle_hashes:
+    # hash each word once, combine k consecutive hashes mod 2^31-1 with the
+    # same least()-clamped tail handling for docs shorter than k words
+    combine = f"wh[i]"
+    for j in range(1, k):
+        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
     return f"""
     WITH w AS (
       SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(ws, x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
+      FROM w
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               range(1, greatest(len(ws) - {k} + 1, 1) + 1),
-               i -> array_to_string(ws[i : i + {k - 1}], ' '))) AS sh
-      FROM w
+               range(1, greatest(len(wh) - {k} + 1, 1) + 1),
+               i -> {combine})) AS sh
+      FROM h
     ), sig AS (
       SELECT doc_id, {sigs} FROM sh
     )

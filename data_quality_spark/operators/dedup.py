@@ -61,6 +61,38 @@ def _shingles(text_col: str, k: int):
     )
 
 
+def _shingle_hashes_from(wh, k: int):
+    """Distinct k-shingle hashes from a word-hash ARRAY COLUMN REFERENCE:
+    combine k consecutive word hashes with a rolling polynomial mod 2³¹−1.
+    One md5 per word instead of one per shingle string.
+
+    ``wh`` MUST be a materialized column reference, not an inline
+    transform(...) expression: Catalyst does no CSE inside higher-order
+    lambdas, so element_at(<expr>, i) re-evaluates the whole array per
+    access — measured 20× slower when inlined."""
+    n = F.size(wh)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+
+    def combine(i):
+        acc = F.element_at(wh, i)
+        for j in range(1, k):
+            acc = (acc * 65599 + F.element_at(wh, F.least(i + j, n))) % F.lit(
+                MINHASH_PRIME
+            )
+        return acc
+
+    # short docs (n < k): single shingle folding all words (least() clamps)
+    return F.array_distinct(F.transform(idx, combine))
+
+
+def word_hash_array(text_col: str):
+    """Per-word portable hashes, reduced mod the MinHash prime."""
+    return F.transform(
+        F.split(F.col(text_col), " "),
+        lambda w: word_hash(w) % F.lit(MINHASH_PRIME),
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, num_hashes: int = 16, shingle_k: int = 3
 ) -> DataFrame:
@@ -70,13 +102,15 @@ def minhash_signature(
     higher-order-function column expressions: shingle → md5-hash → per-seed
     min, no UDF, no explode.
 
-    Single-pass: one aggregate() walks the hash array and folds all
-    num_hashes minima via zip_with/least, so the md5 per shingle is
-    evaluated exactly once (a naive per-seed array_min(transform(...))
-    duplicates the shingle+md5 subtree num_hashes times — measured 2.6×
-    slower at 16 hashes)."""
-    sh = _shingles(text_col, shingle_k)
-    hashes = F.transform(sh, lambda s: word_hash(s))
+    Single-pass: one aggregate() walks the shingle-hash array and folds all
+    num_hashes minima via zip_with/least, so each hash is evaluated exactly
+    once (a naive per-seed array_min(transform(...)) duplicates the
+    shingle-hash subtree num_hashes times — measured 2.6× slower at 16
+    hashes). Shingle hashes come from the rolling word-hash combiner —
+    no shingle strings are ever materialized; the word-hash array is
+    materialized as a column first (see _shingle_hashes_from)."""
+    df = df.withColumn("_wh", word_hash_array(text_col))
+    hashes = _shingle_hashes_from(F.col("_wh"), shingle_k)
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), num_hashes)
     variants = lambda h: F.array(  # noqa: E731
         *[
@@ -87,7 +121,7 @@ def minhash_signature(
     sig = F.aggregate(
         hashes, init, lambda acc, h: F.zip_with(acc, variants(h), lambda a, b: F.least(a, b))
     )
-    return df.withColumn("minhash", sig)
+    return df.withColumn("minhash", sig).drop("_wh")
 
 
 def minhash_bands(
