@@ -1132,6 +1132,41 @@ def q_symbolic_sequences(spark, sf_dir):
     return WIN.symbolic_sequences(base, "file", "epoch", "stage", "label", 30)
 
 
+SQL_SYMBOLIC_SEQUENCES = f"""
+    WITH scored AS ({_SCORE_SQL}),
+    base AS (
+      SELECT sample_id % 50 AS file, sample_id AS epoch,
+             greatest(ground_truth, 0) AS stage,
+             CAST(score = 1.0 AS INTEGER) AS label
+      FROM scored
+    ), win AS (
+      SELECT file, epoch, stage, label,
+             row_number() OVER (PARTITION BY file ORDER BY epoch) AS rn
+      FROM base
+    ), w2 AS (
+      SELECT file, (rn - 1) // 30 AS window_id,
+             rn - ((rn - 1) // 30) * 30 AS pos, stage, label
+      FROM win
+    ), facts AS (
+      SELECT file, window_id, pos, label,
+             printf('seq(%s, sleep_cycle(%s), %d)',
+                    CAST(file AS VARCHAR) || '_' || CAST(window_id AS VARCHAR),
+                    (['wake','n1','n2','n3','rem'])[stage + 1],
+                    pos) AS fact
+      FROM w2
+    )
+    SELECT file, window_id,
+           CASE WHEN min(label) = 1 THEN 0 ELSE 1 END AS window_class,
+           string_agg(fact, '. ' ORDER BY pos)
+             || printf('. class(%s, %d).',
+                       CAST(file AS VARCHAR) || '_' || CAST(window_id AS VARCHAR),
+                       CASE WHEN min(label) = 1 THEN 0 ELSE 1 END)
+             AS sequence_txt
+    FROM facts
+    GROUP BY file, window_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -1258,6 +1293,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_hierarchy": SQL_ROLLUP_HIERARCHY,
         "quantiles": SQL_QUANTILES,
         "pivot_event_types": SQL_PIVOT,
-        # pipeline_keep_drop / pipeline_metrics / symbolic_sequences:
-        # model-UDF / collect_list-render based → rows-only checks.
+        "symbolic_sequences": SQL_SYMBOLIC_SEQUENCES,
+        # pipeline_keep_drop / pipeline_metrics / embed_ivf_topk:
+        # model-UDF / KMeans based → rows-only checks.
     }
