@@ -1,0 +1,80 @@
+"""Event-time watermark semantics: a row arriving after the watermark has
+passed its window must be dropped from an append-mode windowed aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _write(spark, rows, path):
+    df = spark.createDataFrame(
+        rows, "id long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_late_rows_beyond_watermark_dropped(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+
+    # batch 1: events in windows 10:00 and 10:05, plus one far-future event
+    # at 11:00 that advances the watermark beyond both
+    _write(
+        spark,
+        [
+            (1, "2024-01-01 10:00:10", 1.0),
+            (2, "2024-01-01 10:00:20", 1.0),
+            (3, "2024-01-01 10:05:30", 1.0),
+            (4, "2024-01-01 11:00:00", 1.0),
+        ],
+        in_dir,
+    )
+
+    out_dir = str(tmp_path / "out")
+
+    def run_batch():
+        stream = (
+            spark.readStream.schema("id long, ts timestamp, v double")
+            .parquet(in_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").cast("string").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def results():
+        return {r["ws"]: r["n"] for r in spark.read.parquet(out_dir).collect()}
+
+    run_batch()
+    first = results()
+    # watermark = 11:00 - 10min = 10:50 → both 10:00 and 10:05 windows final
+    assert first.get("2024-01-01 10:00:00") == 2
+    assert first.get("2024-01-01 10:05:00") == 1
+
+    # batch 2: a LATE row for the already-finalized 10:00 window + a fresh
+    # on-time row advancing event time further
+    _write(
+        spark,
+        [
+            (5, "2024-01-01 10:00:40", 99.0),  # late beyond watermark → dropped
+            (6, "2024-01-01 11:30:00", 1.0),
+        ],
+        in_dir,
+    )
+    run_batch()
+    rows = results()
+    # the finalized 10:00 window must NOT be re-emitted or updated
+    assert rows.get("2024-01-01 10:00:00") == 2
+    # dropped-late-event accounting: total counted events = 5 of 6 written
+    assert sum(rows.values()) <= 5
