@@ -93,3 +93,40 @@ def symbolic_sequences(
             F.format_string(". class(%s, %d).", F.col("sid"), F.col("window_class")),
         ).alias("sequence_txt"),
     )
+
+
+def create_symbolic_dataset(
+    df,
+    out_dir: str,
+    group_col: str = "file",
+    order_col: str = "epoch",
+    stage_col: str = "stage",
+    label_col: str = "label",
+    length: int = 30,
+    test_pct: int = 20,
+):
+    """The full `create_symbolic_dataset` lifecycle
+    (/root/reference/timeseries/eeg_datasets.py:36-102), Spark-shaped:
+
+    windows → all-clean class → symbolic render → DETERMINISTIC train/test
+    split (hash of the window key — replacing the reference's unseeded
+    random.random() at eeg_datasets.py:91) → one partitioned columnar write
+    (replacing its per-row csv appends at eeg_datasets.py:100-102).
+
+    Returns the split-class counter (eeg_datasets.py:47-50 class_counter).
+    """
+    from .splits import with_row_split
+
+    seqs = symbolic_sequences(df, group_col, order_col, stage_col, label_col, length)
+    keyed = seqs.withColumn(
+        "_wkey", F.concat_ws("_", F.col(group_col).cast("string"), "window_id")
+    )
+    split_df = with_row_split(keyed, "_wkey", test_pct=test_pct).drop("_wkey")
+    split_df.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("split", "window_class")
+        .count()
+        .orderBy("split", "window_class")
+    )

@@ -108,3 +108,21 @@ def test_text_functions(spark):
     fp2 = df2.select(TX.doc_fingerprint(F.col("t")).alias("f")).collect()[0]["f"]
     fp3 = df3.select(TX.doc_fingerprint(F.col("t")).alias("f")).collect()[0]["f"]
     assert fp2 != fp3
+
+
+def test_create_symbolic_dataset_e2e(spark, tmp_path):
+    """Full §3.2 lifecycle: windows → class → render → hash split →
+    partitioned write → split-class counter; deterministic across runs."""
+    rows = [("f%d" % (e // 40), e, e % 5, 1 if e % 7 else 0) for e in range(200)]
+    df = spark.createDataFrame(rows, "file string, epoch int, stage int, label int")
+    out1 = str(tmp_path / "s1")
+    out2 = str(tmp_path / "s2")
+    c1 = W.create_symbolic_dataset(df, out1).toPandas()
+    c2 = W.create_symbolic_dataset(df, out2).toPandas()
+    assert c1.equals(c2)  # deterministic split (vs reference's unseeded rng)
+    assert set(c1["split"]) <= {"train", "test"}
+    # 5 files × 40 epochs → per file: one full 30-window + one 10-tail = 10 windows
+    assert c1["count"].sum() == 10
+    data = spark.read.parquet(out1).toPandas()
+    assert {"window_class", "sequence_txt", "split"} <= set(data.columns)
+    assert data.sequence_txt.str.contains("sleep_cycle").all()
