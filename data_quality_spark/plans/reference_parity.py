@@ -1,0 +1,55 @@
+"""Composed reference-lifecycle entry points.
+
+``runme_main`` re-expresses /root/reference/runme.py:main end-to-end:
+
+    npz → features (U2-U4) + quality (U1) → assert alignment → 3-bucket
+    stats → final frame                      (runme.py:44-58)
+
+Differences by design (SURVEY §3.1): the fragile positional zip-join
+(runme.py:50) becomes a real key — both feature and quality columns are
+computed in ONE select over the keyed rows, so there is no join at all and
+alignment cannot break; the stats sink is a DataFrame (the caller appends
+it to the metrics table) instead of a json file (runme.py:35-36).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.agreement import agreement_score, quality_bucket
+from ..functions.signals import make_signal_features_udf
+from ..sources.npz import read_npz
+
+
+def runme_main(
+    spark: SparkSession, npz_glob: str, fs: float | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """→ (per-sample frame with features + Quality, 3-bucket stats frame).
+
+    Column names mirror the reference's output frame (runme.py:57-58,
+    eeg_features.py:94): AF7HiFreq, AF8HiFreq, Artifacts, Quality.
+    """
+    rows = read_npz(spark, npz_glob)
+    if fs is None:
+        fs = float(rows.select("fs").first()["fs"])
+    feats = make_signal_features_udf(fs)
+    scored = (
+        rows.withColumn("_f7", feats(F.col("ch_af7")))
+        .withColumn("_f8", feats(F.col("ch_af8")))
+        .select(
+            "file",
+            "sample_id",
+            F.col("_f7.hi_band_power").alias("AF7HiFreq"),
+            F.col("_f8.hi_band_power").alias("AF8HiFreq"),
+            (F.col("_f7.artifacts") + F.col("_f8.artifacts")).alias("Artifacts"),
+            agreement_score(
+                F.col("a1"), F.col("a2"), F.col("a3"), F.col("ground_truth")
+            ).alias("Quality"),
+        )
+    )
+    stats = (
+        scored.groupBy(quality_bucket(F.col("Quality")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    return scored, stats

@@ -114,3 +114,23 @@ def test_spectrogram_dataset_shape(spark, npz_rows):
         "name", "epoch", "channel", "raw_data",
         "spectrogram", "spectrogram_db", "label",
     ]
+
+
+def test_runme_main_parity(spark, tmp_path_factory):
+    """Composed runme.py:main lifecycle: features + quality + bucket stats,
+    with the 3-bucket counts reconciling to the row count (runme.py:33)."""
+    from data_quality_spark.plans.reference_parity import runme_main
+
+    d = tmp_path_factory.mktemp("npzmain")
+    write_npz_fixture(str(d / "rec.npz"), n=92, seed=14)
+    scored, stats = runme_main(spark, str(d))
+    pdf = scored.toPandas()
+    assert list(pdf.columns) == [
+        "file", "sample_id", "AF7HiFreq", "AF8HiFreq", "Artifacts", "Quality",
+    ]
+    assert len(pdf) == 92
+    assert set(pdf.Quality.unique()) <= {0.0, 0.2, 0.5, 1.0}
+    s = stats.toPandas().set_index("bucket")["n"]
+    assert s.sum() == 92  # count-assert, runme.py:33
+    # sentinel rows (every 23rd has gt=-1) land in Bad (0.0 < 0.25)
+    assert s.get("Bad", 0) >= 4
