@@ -47,18 +47,46 @@ def _decode(name: str, raw: bytes) -> pd.DataFrame:
     )
 
 
-def read_npz(spark: SparkSession, path_glob: str) -> DataFrame:
-    """Distributed npz scan → one row per (file, epoch)."""
+def read_npz(
+    spark: SparkSession, path_glob: str, mode: str = "failfast"
+) -> DataFrame:
+    """Distributed npz scan → one row per (file, epoch).
+
+    ``mode``: 'failfast' raises on a corrupt archive (default — matches
+    Spark reader semantics); 'permissive' skips corrupt files and emits a
+    sentinel row (sample_id = -1, null arrays) per bad file so the caller
+    can count/route them — at 10¹² files a single bad archive must not
+    kill a chunk."""
     binaries = spark.read.format("binaryFile").load(path_glob)
 
     def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for name, raw in zip(pdf["path"], pdf["content"]):
-                yield _decode(name.rsplit("/", 1)[-1], bytes(raw))
+                short = name.rsplit("/", 1)[-1]
+                try:
+                    yield _decode(short, bytes(raw))
+                except Exception:
+                    if mode != "permissive":
+                        raise
+                    yield pd.DataFrame(
+                        {
+                            "file": [short],
+                            "sample_id": [-1],
+                            "a1": [None], "a2": [None], "a3": [None],
+                            "ground_truth": [None], "fs": [None],
+                            "epoch": [None],
+                            "ch_af7": [None], "ch_af8": [None],
+                        }
+                    )
 
     return binaries.select("path", "content").mapInPandas(
         decode_batches, schema=NPZ_ROWS_SCHEMA
     )
+
+
+def corrupt_files(rows: DataFrame) -> DataFrame:
+    """Sentinel rows emitted by permissive mode → list of bad archives."""
+    return rows.filter(rows.sample_id == -1).select("file").distinct()
 
 
 def write_npz_fixture(

@@ -134,3 +134,21 @@ def test_runme_main_parity(spark, tmp_path_factory):
     assert s.sum() == 92  # count-assert, runme.py:33
     # sentinel rows (every 23rd has gt=-1) land in Bad (0.0 < 0.25)
     assert s.get("Bad", 0) >= 4
+
+
+def test_npz_permissive_mode(spark, tmp_path_factory):
+    from data_quality_spark.sources.npz import corrupt_files
+
+    d = tmp_path_factory.mktemp("npzbad")
+    write_npz_fixture(str(d / "good.npz"), n=30, seed=3)
+    (d / "bad.npz").write_bytes(b"definitely not an npz archive")
+
+    rows = read_npz(spark, str(d), mode="permissive")
+    pdf = rows.toPandas()
+    assert len(pdf) == 31  # 30 good rows + 1 sentinel
+    bad = corrupt_files(rows).toPandas()
+    assert bad.file.tolist() == ["bad.npz"]
+    # failfast still raises
+    import pytest as _pt
+    with _pt.raises(Exception):
+        read_npz(spark, str(d), mode="failfast").count()
