@@ -261,8 +261,13 @@ SQL_DOC_ENTROPY = """
 
 
 def q_doc_quality(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    score = TX.quality_score(F.col("text"))
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("_ws", F.split("text", " "))
+        .withColumn("_lws", F.split(F.lower("text"), " "))
+    )
+    score = TX.quality_score(F.col("text"), ws=F.col("_ws"), lws=F.col("_lws"))
     return d.select(
         "doc_id",
         score.alias("qscore"),

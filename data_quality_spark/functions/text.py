@@ -91,17 +91,28 @@ def doc_fingerprint(text: Column) -> Column:
     )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(
+    text: Column, ws: Column | None = None, lws: Column | None = None
+) -> Column:
     """Composite [0,1] quality score over cheap signals: stopword ratio,
-    word-length sanity, duplication. Weights frozen (part of rules-v1)."""
-    ws = words_col(text)
+    word-length sanity, duplication. Weights frozen (part of rules-v1).
+
+    Pass materialized word arrays (``ws`` = split(text,' '), ``lws`` =
+    split(lower(text),' ')) when scoring many rows: the expression uses
+    them several times and Catalyst does not CSE the split inside a single
+    projection."""
+    ws = ws if ws is not None else words_col(text)
+    lws = lws if lws is not None else words_col(F.lower(text))
     n = F.greatest(F.size(ws), F.lit(1)).cast("double")
     mean_wlen = F.aggregate(
         ws, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
     ) / n
     dup = F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n
+    sw_set = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    sw = F.size(F.filter(lws, lambda w: F.array_contains(sw_set, w))).cast(
+        "double"
+    ) / F.greatest(F.size(lws), F.lit(1)).cast("double")
     wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.3)
-    sw = stopword_ratio(text)
     sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.5)
     dup_ok = F.lit(1.0) - F.least(dup, F.lit(1.0)) * 0.5
     return F.round(wlen_ok * 0.4 + sw_ok * 0.3 + dup_ok * 0.3, 6)

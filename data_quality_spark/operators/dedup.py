@@ -239,9 +239,19 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
     """Attach ``simhash: bigint`` — sign-aggregated word-hash bits.
 
     bit_j(doc) = 1 iff Σ_w (2·bit_j(H(w)) − 1) > 0, computed as pure
-    column expressions over the word-hash array (no UDF)."""
-    words = F.array_distinct(F.split(F.col(text_col), " "))
-    hashes = F.transform(words, lambda w: word_hash(w))
+    column expressions over the word-hash array (no UDF).
+
+    The word-hash array is materialized as a column first: the 16 bit-sum
+    aggregates would otherwise each embed (and re-evaluate) the whole
+    split+md5 subtree — Catalyst does not CSE across them."""
+    df = df.withColumn(
+        "_simhash_wh",
+        F.transform(
+            F.array_distinct(F.split(F.col(text_col), " ")),
+            lambda w: word_hash(w),
+        ),
+    )
+    hashes = F.col("_simhash_wh")
 
     def _bit_sum(j: int):
         # closure (not a default arg): pyspark infers lambda arity from the
@@ -258,7 +268,7 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
     for j, s in enumerate(bit_sums):
         term = F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
-    return df.withColumn("simhash", sig)
+    return df.withColumn("simhash", sig).drop("_simhash_wh")
 
 
 def embedding_cosine_pairs(
