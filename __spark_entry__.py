@@ -136,8 +136,14 @@ def q_quality_binarize(spark, sf_dir):
 
 
 def q_doc_heuristics(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    ws = F.split(F.col("text"), " ")
+    # materialize the word array once — the five feature exprs below would
+    # otherwise each re-evaluate the split (no CSE within a projection)
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("_ws", F.split(F.col("text"), " "))
+    )
+    ws = F.col("_ws")
     n = F.greatest(F.size(ws), F.lit(1)).cast("double")
     return d.select(
         "doc_id",
@@ -169,14 +175,22 @@ SQL_DOC_HEURISTICS = """
 
 
 def q_doc_langid(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .withColumn("_lws", F.split(F.lower("text"), " "))
+    )
+    sw_set = F.array(*[F.lit(s) for s in TX.EN_STOPWORDS])
+    swr = F.size(
+        F.filter(F.col("_lws"), lambda w: F.array_contains(sw_set, w))
+    ).cast("double") / F.greatest(F.size("_lws"), F.lit(1)).cast("double")
+    d = d.withColumn("_swr", swr)
+    pred = F.when(F.col("_swr") >= 0.08, "en").otherwise("other")
     return d.select(
         "doc_id",
-        F.round(TX.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
-        TX.heuristic_langid(F.col("text")).alias("pred_lang"),
-        (TX.heuristic_langid(F.col("text")) == F.col("lang"))
-        .cast("int")
-        .alias("agrees"),
+        F.round(F.col("_swr"), 6).alias("stopword_ratio"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("int").alias("agrees"),
     )
 
 
