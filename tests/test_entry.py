@@ -80,3 +80,16 @@ def test_entry_smoke(spark):
     a = pdf.sort_values(["repo", "path"]).reset_index(drop=True)
     b = pdf2.sort_values(["repo", "path"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+ROWS_ONLY_DOCUMENTED = {
+    # model-UDF / KMeans based — no SQL-expressible oracle by design
+    "pipeline_keep_drop",
+    "pipeline_metrics",
+    "embed_ivf_topk",
+}
+
+
+def test_every_query_is_oracle_checked_or_documented():
+    assert set(ALL) - set(ORACLE) == ROWS_ONLY_DOCUMENTED
+    assert set(ORACLE) <= set(ALL)  # no orphan oracles
