@@ -616,6 +616,53 @@ SQL_RESUME_PENDING = """
 """
 
 
+def q_semi_join(spark, sf_dir):
+    """EXISTS / left-semi: orders having at least one big lineitem."""
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    big = li.filter(F.col("l_extendedprice") > 80000).select("l_orderkey")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+SQL_SEMI_JOIN = """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_extendedprice > 80000)
+"""
+
+
+def q_events_running(spark, sf_dir):
+    """Window frames: running sum + 3-row moving average per user."""
+    _utc(spark)
+    e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    moving = F.avg("value").over(w.rowsBetween(-2, 0))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(running, 4).alias("running_sum"),
+        F.round(moving, 6).alias("moving_avg3"),
+    )
+
+
+SQL_EVENTS_RUNNING = """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS moving_avg3
+    FROM events
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
@@ -1242,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_join": q_decode_join,
         "resume_pending": q_resume_pending,
         "topk_per_group": q_topk_per_group,
+        "semi_join": q_semi_join,
+        "events_running": q_events_running,
         "events_hourly": q_events_hourly,
         "events_count_windows": q_events_count_windows,
         "events_sessions": q_events_sessions,
@@ -1296,6 +1345,8 @@ def oracle_sql() -> dict[str, str]:
         "decode_join": SQL_DECODE_JOIN,
         "resume_pending": SQL_RESUME_PENDING,
         "topk_per_group": SQL_TOPK_PER_GROUP,
+        "semi_join": SQL_SEMI_JOIN,
+        "events_running": SQL_EVENTS_RUNNING,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_count_windows": SQL_EVENTS_COUNT_WINDOWS,
         "events_sessions": SQL_EVENTS_SESSIONS,
