@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "agreement_buckets",
     "doc_quality",
     "doc_fingerprint",
+    "doc_entropy",
+    "doc_tokens",
+    "dedup_exact",
     "dedup_minhash",
     "dedup_jaccard",
     "dedup_simhash",
@@ -93,9 +96,17 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessions",
     "events_count_windows",
+    "events_running",
     "topk_per_group",
     "split_group",
     "scrub_documents",
+    "asof_join",
+    "rollup_hierarchy",
+    "quantiles",
+    "pivot_event_types",
+    "distinct_agg",
+    "semi_join",
+    "string_render",
 ]
 
 
