@@ -628,6 +628,31 @@ SQL_RESUME_PENDING = """
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (LLM corpus prep): 40-token windows every
+    30 tokens over each document."""
+    from data_quality_spark.operators.chunking import chunk_text
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(d, "doc_id", "text", window=40, stride=30)
+
+
+SQL_DOC_CHUNKS = """
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, w,
+             greatest(CAST(ceil((len(w) - 40)::DOUBLE / 30) AS INTEGER), 0)
+               AS last FROM w
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           len(str_split(array_to_string(w[i*30+1 : i*30+40], ' '), ' '))
+             AS n_chunk_tokens,
+           array_to_string(w[i*30+1 : i*30+40], ' ') AS chunk_text
+    FROM s, unnest(range(0, last + 1)) AS t(i)
+"""
+
+
 def q_semi_join(spark, sf_dir):
     """EXISTS / left-semi: orders having at least one big lineitem."""
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -1302,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_pending": q_resume_pending,
         "topk_per_group": q_topk_per_group,
         "semi_join": q_semi_join,
+        "doc_chunks": q_doc_chunks,
         "events_running": q_events_running,
         "events_hourly": q_events_hourly,
         "events_count_windows": q_events_count_windows,
@@ -1358,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         "resume_pending": SQL_RESUME_PENDING,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "semi_join": SQL_SEMI_JOIN,
+        "doc_chunks": SQL_DOC_CHUNKS,
         "events_running": SQL_EVENTS_RUNNING,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_count_windows": SQL_EVENTS_COUNT_WINDOWS,

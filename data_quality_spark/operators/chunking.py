@@ -1,0 +1,60 @@
+"""Context-window chunking — split documents into overlapping token-window
+chunks, the standard LLM-training corpus prep step (no reference
+counterpart; target-side operator).
+
+Pure column expressions: word-split once (materialized — see the repo's
+no-CSE rule), chunk starts via sequence() with the stride, each chunk a
+slice+join, then posexplode. Chunk identity is (key, chunk_id) with
+deterministic ids, so downstream dedup/splits stay reproducible.
+
+Scale shape: narrow (no shuffle); output rows ≈ input_tokens / stride —
+the explode multiplies rows but each carries only its chunk text, so bytes
+grow by ~(window/stride), the overlap factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_text(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    window: int = 128,
+    stride: int = 96,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """→ (key, chunk_id, n_chunk_tokens, chunk_text); whitespace tokens.
+
+    Windows of ``window`` tokens every ``stride`` tokens (overlap =
+    window − stride). A document shorter than ``window`` yields one chunk.
+    Trailing windows shorter than ``min_tokens`` are suppressed (they are
+    fully contained in the previous chunk when stride < window).
+    """
+    assert 0 < stride <= window
+    d = df.withColumn("_w", F.split(F.col(text_col), " "))
+    n = F.size("_w")
+    # last start so that every token is covered: ceil((n-window)/stride)
+    last_start = F.greatest(
+        F.ceil((n - F.lit(window)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(0),
+    )
+    starts = F.sequence(F.lit(0), last_start)
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(F.col("_w"), s * stride + 1, window)),
+    )
+    out = (
+        d.select(
+            F.col(key_col),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+        .withColumn("n_chunk_tokens", F.size(F.split("chunk_text", " ")))
+        .filter(
+            (F.col("chunk_id") == 0) | (F.col("n_chunk_tokens") >= min_tokens)
+        )
+        .select(key_col, "chunk_id", "n_chunk_tokens", "chunk_text")
+    )
+    return out

@@ -126,3 +126,25 @@ def test_create_symbolic_dataset_e2e(spark, tmp_path):
     data = spark.read.parquet(out1).toPandas()
     assert {"window_class", "sequence_txt", "split"} <= set(data.columns)
     assert data.sequence_txt.str.contains("sleep_cycle").all()
+
+
+def test_chunk_text_semantics(spark):
+    from data_quality_spark.operators.chunking import chunk_text
+
+    words = " ".join(f"w{i}" for i in range(250))
+    df = spark.createDataFrame([(1, words), (2, "short doc"), (3, "")],
+                               "id long, t string")
+    out = chunk_text(df, "id", "t", window=100, stride=75).toPandas()
+    d1 = out[out.id == 1].sort_values("chunk_id")
+    assert d1.chunk_id.tolist() == [0, 1, 2]
+    assert d1.n_chunk_tokens.tolist() == [100, 100, 100]
+    assert d1.iloc[0].chunk_text.startswith("w0 ") and d1.iloc[0].chunk_text.endswith(" w99")
+    assert d1.iloc[1].chunk_text.startswith("w75 ")          # overlap of 25
+    assert d1.iloc[2].chunk_text.endswith(" w249")           # full coverage
+    # every token appears in at least one chunk
+    covered = set()
+    for c in d1.chunk_text:
+        covered.update(c.split(" "))
+    assert covered == {f"w{i}" for i in range(250)}
+    assert len(out[out.id == 2]) == 1                        # short → one chunk
+    assert len(out[out.id == 3]) == 1                        # empty → one chunk
