@@ -7,6 +7,14 @@ invariant for untouched rows (BASELINE.json input_hint) cannot be broken by
 Java-vs-Python regex divergence — Spark's ``regexp_replace`` (Java regex)
 is deliberately NOT used for the scrub itself.
 
+Semantics: the rules are applied SEQUENTIALLY in the frozen order below
+(each rule sees the previous rule's output). The fast path is a single
+combined-alternation *search* over every row first; only rows with ≥1 hit
+run the sequential chain. This is provably identical: if no rule matches
+the original text, no replacement happens at any step, so the text entering
+every later rule is still the original — the chain is the identity.
+Untouched rows therefore never even enter the replace path.
+
 Pattern order is fixed; the chain is idempotent (replacement tokens match no
 pattern).
 """
@@ -14,6 +22,7 @@ pattern).
 from __future__ import annotations
 
 import re
+import warnings
 
 import pandas as pd
 
@@ -29,7 +38,10 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
         "<EMAIL>",
     ),
     ("aws_key", re.compile(r"AKIA[0-9A-Z]{16}"), "<AWS_KEY>"),
-    ("hex_secret", re.compile(r"\b[0-9a-f]{40,64}\b"), "<SECRET>"),
+    # unbounded {40,}: the v1 upper bound {40,64} let 65+-char runs (e.g.
+    # 128-hex SHA-512-style tokens) through because \b can't match inside a
+    # longer hex run
+    ("hex_secret", re.compile(r"\b[0-9a-f]{40,}\b"), "<SECRET>"),
     (
         "toxicity",
         re.compile(r"\b(dammit|crappy|jackass)\b", re.IGNORECASE),
@@ -37,13 +49,43 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
     ),
 ]
 
-SCRUB_RULES_VERSION = "scrub-v1"
+# hex_secret upper bound removed (rule semantics change) → version bump
+SCRUB_RULES_VERSION = "scrub-v2"
+
+
+def _inline(pat: re.Pattern) -> str:
+    """Pattern source with its flags scoped inline (safe in an alternation)."""
+    return f"(?i:{pat.pattern})" if pat.flags & re.IGNORECASE else pat.pattern
+
+
+# one scan decides "does ANY rule hit this row" — the prefilter, not a
+# replacement engine (replacement stays sequential per the frozen semantics)
+ANY_RULE = re.compile("|".join(f"(?:{_inline(p)})" for _, p, _ in SCRUB_RULES))
 
 
 def scrub_series(content: pd.Series) -> pd.Series:
     """Apply the full rule chain to a pandas Series of strings (C-loop via
-    pandas str.replace; the same function runs inside the Spark pandas UDF
-    and the oracle)."""
+    pandas str ops; the same function runs inside the Spark pandas UDF and
+    the oracle). One combined search pass; the 4-pass sequential chain runs
+    only on rows with a hit."""
+    out = content.astype("string").fillna("")
+    with warnings.catch_warnings():
+        # pandas warns that the pattern has match groups (toxicity's
+        # alternation); we want a boolean mask, not the groups
+        warnings.simplefilter("ignore", UserWarning)
+        mask = out.str.contains(ANY_RULE, regex=True)
+    if mask.any():
+        hit = out[mask]
+        for _name, pat, repl in SCRUB_RULES:
+            hit = hit.str.replace(pat, repl, regex=True)
+        out = out.copy()
+        out[mask] = hit
+    return out.astype(object)
+
+
+def scrub_series_sequential(content: pd.Series) -> pd.Series:
+    """Reference form: the plain 4-pass chain over every row (equivalence
+    gate for the prefiltered fast path lives in tests)."""
     out = content.astype("string").fillna("")
     for _name, pat, repl in SCRUB_RULES:
         out = out.str.replace(pat, repl, regex=True)

@@ -1,18 +1,24 @@
 """As-of join — Spark lacks a native one (SURVEY: not in the reference
 either; provided because time-aligned enrichment is a staple of event
-pipelines). Two implementations with identical semantics
+pipelines). Three implementations with identical semantics
 (LEFT asof: for each left row, the single right row with the greatest
 right_ts ≤ left_ts within the same key; left rows with no match dropped —
 matching DuckDB's inner ASOF JOIN):
 
-1. ``asof_join`` — pure DataFrame composition: range-bounded equi-join on
-   the key + window top-1 per left row. Correct anywhere; the join blows up
-   to O(matching pairs), so at scale bucket the time axis first (pass
-   ``bucket`` — coarse time buckets bound the pair fan-out: each left row
-   joins only its own and the previous bucket... classic range-join
-   bucketing).
+1. ``asof_join`` (default, scale path) — union both sides, one window per
+   key ordered by timestamp with rights sorted before lefts on ties, and
+   ``last(right_payload, ignorenulls=True)`` over an unbounded-preceding
+   frame. NO join: the pair fan-out of the range-join form never
+   materializes — cost is one shuffle on the key + an O(n log n) sort per
+   partition, linear in events per key. This is the sort-merge as-of a
+   native engine would run.
 
-2. ``asof_join_pandas`` — applyInPandas per key group, pd.merge_asof inside
+2. ``asof_join_pairs`` — the composed range-join form (equi-join on the key
+   + window top-1). Kept for reference/plan comparison: it materializes
+   every (left, earlier-right) pair before the top-1, O(pairs) per key —
+   quadratic for an active key at scale. Do not use on big inputs.
+
+3. ``asof_join_pandas`` — applyInPandas per key group, pd.merge_asof inside
    (sort-merge, linear); the right choice when single keys fit in a task.
 """
 
@@ -32,8 +38,66 @@ def asof_join(
     right_cols: list[str],
     left_id: str,
 ) -> DataFrame:
+    """Union-window as-of join (no pair materialization).
+
+    Tag each side, union on a common timeline, and carry the latest right
+    payload forward with ``last(..., ignorenulls=True)`` over
+    (key) ORDER BY (ts, side, payload) ROWS UNBOUNDED PRECEDING..CURRENT.
+    Rights sort before lefts at equal ts (inclusive ``left_ts >= right_ts``
+    semantics, matching DuckDB ASOF); the payload struct is the final sort
+    key so same-timestamp right rows resolve deterministically (the max
+    payload wins, engine-independently).
+
+    ``left_id`` is unused here (no top-1 window needed) but kept for
+    signature compatibility with ``asof_join_pairs``.
+    """
+    del left_id  # not needed: no pair fan-out to deduplicate
+    lcols = left.columns
+    r = right.select(
+        F.col(on),
+        F.struct(F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols])
+        .alias("_payload"),
+    ).select(
+        on,
+        F.col("_payload._rts").alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        "_payload",
+    )
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_is_left", "_payload")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_filled", F.last("_payload", ignorenulls=True).over(w))
+    out = (
+        filled.filter((F.col("_is_left") == 1) & F.col("_filled").isNotNull())
+        .select(
+            *lcols,
+            F.col("_filled._rts").alias(f"asof_{right_ts}"),
+            *[F.col(f"_filled.{c}").alias(c) for c in right_cols],
+        )
+    )
+    return out
+
+
+def asof_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    left_id: str,
+) -> DataFrame:
     """Composed as-of join: equi-join on ``on`` + ts range filter + keep the
-    latest right row per left row (row_number over desc right ts)."""
+    latest right row per left row (row_number over desc right ts).
+    O(matching pairs) — reference form only; prefer ``asof_join``."""
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_rts"),

@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime modulus keeps (a*h+b) % P well-distributed for MinHash.
@@ -178,7 +178,33 @@ def minhash_candidates(
     return pairs
 
 
-def ngram_jaccard_pairs(
+def hashed_shingle_sets(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(k, [g], sh: array<bigint>, sz) — distinct hashed k-shingle set per
+    doc via the rolling word-hash combiner (one md5 per word, no shingle
+    strings ever materialized; portable to the DuckDB oracle bit-for-bit).
+    The word-hash array is materialized as its own column first (no-CSE
+    rule)."""
+    out = (
+        df.select(
+            F.col(key_col).alias("k"),
+            *([F.col(group_col).alias("g")] if group_col else []),
+            F.col(text_col).alias("_t"),
+        )
+        .withColumn("_wh", word_hash_array("_t"))
+        .withColumn("sh", _shingle_hashes_from(F.col("_wh"), shingle_k))
+        .drop("_t", "_wh")
+        .withColumn("sz", F.size("sh"))
+    )
+    return out
+
+
+def jaccard_prefix_candidates(
     df: DataFrame,
     key_col: str,
     text_col: str,
@@ -186,16 +212,107 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
+    """Prefix-filter candidate pairs for Jaccard ≥ threshold (exact recall).
+
+    Set-similarity-join prefix filtering: order every document's shingles by
+    a GLOBAL total order (document frequency asc, shingle hash asc — rarest
+    first) and keep only each doc's prefix of length
+    ``|A| − ⌈t·|A|⌉ + 1``. Pigeonhole: J(A,B) ≥ t implies
+    |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so any qualifying pair must share at least
+    one shingle inside BOTH prefixes — joining prefix-to-prefix loses no
+    true pair. High-df (stopword-grade) shingles sort LAST and fall out of
+    the prefixes, which kills the f²-per-frequent-token posting-list blowup
+    of a naive shingle self-join: the hot token never generates candidates.
+
+    Everything runs on HASHED shingles (8-byte join/shuffle keys, no string
+    shingles — measured ~3× over the string form at sf0.1); the verify step
+    compares the same hash sets, so hashing is part of the operator's
+    semantics and the oracle replicates it exactly.
+    Returns (a, b) with a < b, distinct."""
+    grp = ["g"] if group_col else []
+    sh = hashed_shingle_sets(df, key_col, text_col, group_col, shingle_k)
+    # explode_OUTER, deliberately: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which pushes a size(sh)>0 filter below the
+    # projection with the whole shingle expression INLINED — and since
+    # Catalyst does no CSE inside HOF lambdas, every element_at() in the
+    # inlined copy re-evaluates the full md5 word-hash array: O(n²) md5s
+    # per doc (measured 53 s vs 3 s for this stage at sf0.1). Our shingle
+    # arrays are never empty (short docs fold to one shingle), so outer
+    # explode is semantically identical here.
+    words = sh.select("k", "sz", *grp, F.explode_outer("sh").alias("w"))
+    dfc = words.groupBy(*grp, "w").agg(F.count("*").alias("df"))
+    ranked = words.join(dfc, [*grp, "w"]).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("df", "w"))
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("k", *grp, "w")
+    l, r = prefix.alias("l"), prefix.alias("r")
+    on = [F.col("l.w") == F.col("r.w"), F.col("l.k") < F.col("r.k")]
+    if group_col:
+        on.append(F.col("l.g") == F.col("r.g"))
+    return (
+        l.join(r, on)
+        .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    method: str = "prefix",
+) -> DataFrame:
     """Exact word-k-gram Jaccard between documents (threshold > 0).
 
-    Scalable formulation: explode distinct shingles → self-join on the
+    ``method="prefix"`` (default, scale path): prefix-filter candidate
+    generation (see jaccard_prefix_candidates) + exact array_intersect
+    verification on the surviving candidates only — both over HASHED
+    shingle sets (Jaccard on md5-derived rolling hashes; identical to
+    string-shingle Jaccard absent 31-bit collisions, and reproduced
+    bit-for-bit by the oracle). Result-identical to a brute-force all-pairs
+    join over the same hash sets for any threshold > 0, but candidate count
+    is bounded by rare-shingle co-occurrence instead of f² per frequent
+    shingle — the form that survives skewed corpora at 100 TB.
+
+    ``method="cooccur"``: explode distinct shingles → self-join on the
     shingle (+ optional blocking ``group_col``) → count co-occurrences per
-    pair (= |A∩B|) → join per-doc shingle counts (broadcast) →
-    |A∪B| = |A|+|B|−|A∩B|. No per-pair array_intersect: the naive
-    pair-join recomputes an O(|A|+|B|) set intersection per candidate (and
-    Catalyst evaluates it twice, once in Filter once in Project) — measured
-    ~6× slower at sf0.1. Pairs with an empty intersection never materialize,
-    which is equivalent for any threshold > 0."""
+    pair (= |A∩B|) → |A∪B| = |A|+|B|−|A∩B|. No per-pair set
+    intersection (measured ~6× faster than the naive pair-join at sf0.1),
+    but posting lists are unbounded: one shingle in f docs yields f² join
+    rows — quadratic under token skew. Kept for dense small groups."""
+    if method == "prefix":
+        cand = jaccard_prefix_candidates(
+            df, key_col, text_col, group_col, shingle_k, threshold
+        )
+        arrays = hashed_shingle_sets(df, key_col, text_col, None, shingle_k)
+        a_side = arrays.select(
+            F.col("k").alias("a"), F.col("sh").alias("sha"), F.col("sz").alias("sza")
+        )
+        b_side = arrays.select(
+            F.col("k").alias("b"), F.col("sh").alias("shb"), F.col("sz").alias("szb")
+        )
+        # inter materialized as a column: used in numerator AND union size
+        # (no-CSE rule — Catalyst would evaluate array_intersect twice)
+        return (
+            cand.join(a_side, "a")
+            .join(b_side, "b")
+            .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+            .select(
+                "a",
+                "b",
+                (
+                    F.col("inter").cast("double")
+                    / F.greatest(
+                        F.col("sza") + F.col("szb") - F.col("inter"), F.lit(1)
+                    ).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     sh = df.select(
         F.col(key_col).alias("k"),
         *([F.col(group_col).alias("g")] if group_col else []),

@@ -11,6 +11,12 @@ table stays queryable — the day-level scan touches day-level partials, and
 an incremental refresh only recomputes the buckets whose inputs changed.
 Correctness gate: rolling up through the hierarchy must equal aggregating
 raw rows directly at the coarse level (tests + DuckDB oracle).
+
+Exactness: the re-aggregation algebra is exact only for associative sums.
+Double sums re-associate across the hierarchy (minute-sums-of-hour-sums vs
+raw-row sums) and drift; callers that need bit-equality with a direct
+aggregate must cast ``value_col`` to DECIMAL first (decimal addition is
+associative) — see q_rollup_hierarchy in __spark_entry__.py.
 """
 
 from __future__ import annotations

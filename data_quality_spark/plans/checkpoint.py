@@ -109,6 +109,16 @@ def run_pipeline(
             F.sum(F.col("keep").cast("long")).alias("n_keep"),
             F.sum(F.col("was_modified").cast("long")).alias("n_modified"),
         )
+        # every part_id in the chunk gets a marker — a zero-row partition
+        # writes no data files, but it IS done; without its marker it would
+        # stay pending forever and be reprocessed on every resume
+        chunk_df = spark.createDataFrame(
+            [(int(p),) for p in chunk], "part_id int"
+        )
+        m = (
+            chunk_df.join(m, "part_id", "left")
+            .na.fill({"n_rows": 0, "n_keep": 0, "n_modified": 0})
+        )
         wall = time.time() - t0
         marker = (
             m.withColumn("run_id", F.lit(run_id))

@@ -4,18 +4,30 @@ Chunked runs write one file batch per chunk per partition; over many
 resume cycles a partition accumulates small files (the classic long-lived-
 table ailment — at 10¹² rows, file-count pressure on the catalog/namenode
 is as real as data size). ``compact_partitions`` rewrites chosen part_ids
-to ~``target_rows_per_file`` files each, idempotently, using the same
-dynamic-partition-overwrite mechanism as the pipeline writer (a crashed
-compaction is re-runnable; readers only ever see a fully-replaced
-partition).
+to ~``target_rows_per_file`` files each with a stage-verify-swap protocol:
 
-On Iceberg this is `rewrite_data_files`; the parquet fallback keeps the
-semantics.
+1. write the compacted copy to ``<out_dir>/_compact_staging`` (originals
+   untouched);
+2. VERIFY staged per-partition row counts equal the originals' — any
+   mismatch aborts with the originals intact;
+3. swap each partition directory: original → trash, staged → live, trash
+   deleted last.
+
+No step deletes the only copy of a partition: a crash at any point leaves
+at least one complete copy on disk (before the swap: the original; during:
+original-in-trash plus staged; after: the compacted live copy), so a
+crashed compaction is recoverable and a re-run from step 1 is safe. What
+this parquet fallback cannot give is an ATOMIC cross-partition commit —
+readers racing a swap can see a partition mid-rename; that requires a
+transactional table format (on Iceberg this whole module is
+``rewrite_data_files``, which commits a snapshot). See ARCHITECTURE.md.
 """
 
 from __future__ import annotations
 
 import math
+import shutil
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +48,10 @@ def partition_file_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def staging_path(out_dir: str) -> str:
+    return f"{out_dir}/_compact_staging"
+
+
 def compact_partitions(
     spark: SparkSession,
     out_dir: str,
@@ -43,7 +59,8 @@ def compact_partitions(
     min_files: int = 4,
     target_rows_per_file: int = 1_000_000,
 ) -> list[int]:
-    """Rewrite fragmented partitions; returns the part_ids compacted."""
+    """Rewrite fragmented partitions (stage → verify counts → swap);
+    returns the part_ids compacted."""
     stats = partition_file_stats(spark, out_dir)
     if part_ids is not None:
         stats = stats.filter(F.col("part_id").isin(part_ids))
@@ -53,8 +70,10 @@ def compact_partitions(
     }
     if not frag:
         return []
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     todo = sorted(frag)
+    staging = staging_path(out_dir)
+    shutil.rmtree(staging, ignore_errors=True)  # stale staging from a crash
+
     df = spark.read.parquet(data_path(out_dir)).filter(F.col("part_id").isin(todo))
     n_files = max(
         1, math.ceil(sum(frag.values()) / max(target_rows_per_file, 1))
@@ -63,6 +82,34 @@ def compact_partitions(
         df.repartition(n_files, "part_id")
         .write.mode("overwrite")
         .partitionBy("part_id")
-        .parquet(data_path(out_dir))
+        .parquet(staging)
     )
+
+    # verify the staged copy is complete BEFORE touching any original
+    staged_counts = {
+        r["part_id"]: r["n_rows"]
+        for r in spark.read.parquet(staging)
+        .groupBy("part_id")
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    }
+    if staged_counts != frag:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction staging row-count mismatch: {staged_counts} != {frag}; "
+            "originals left untouched"
+        )
+
+    data_dir = Path(data_path(out_dir))
+    staging_dir = Path(staging)
+    for p in todo:
+        live = data_dir / f"part_id={p}"
+        fresh = staging_dir / f"part_id={p}"
+        trash = data_dir / f"_compact_trash_part_id={p}"
+        if trash.exists():
+            shutil.rmtree(trash)
+        live.rename(trash)  # original preserved until the staged copy lands
+        shutil.move(str(fresh), str(live))
+        shutil.rmtree(trash)
+    shutil.rmtree(staging_dir, ignore_errors=True)
     return todo

@@ -1,11 +1,18 @@
-"""As-of join: composed (join+window) and merge_asof implementations must
-agree with each other and with hand-computed expectations."""
+"""As-of join: union-window (default), composed pair-join, and merge_asof
+implementations must agree with each other and with hand-computed
+expectations; the default form must not materialize pairs (no Join node)."""
 
 from __future__ import annotations
 
+import random
+
 import pandas as pd
 
-from data_quality_spark.operators.asof import asof_join, asof_join_pandas
+from data_quality_spark.operators.asof import (
+    asof_join,
+    asof_join_pairs,
+    asof_join_pandas,
+)
 
 ROWS_L = [  # (id, key, ts)
     (1, "u1", 10.0),
@@ -37,6 +44,48 @@ def test_asof_join_composed(spark):
     )
     got = dict(zip(out.id, out.asof_rts))
     assert got == {1: 10.0, 2: 24.0}  # id3: right row is later; id4: no rows
+
+
+def test_asof_join_matches_pairs_randomized(spark):
+    """Union-window form ≡ pair-join form on a dense random input, with a
+    right payload column carried through. Distinct right timestamps per key
+    so the top-1 tie-break of the pairs form is deterministic too."""
+    rng = random.Random(7)
+    lrows = [
+        (i, f"u{rng.randrange(5)}", float(rng.randrange(1000)))
+        for i in range(300)
+    ]
+    # distinct rts per key: step a counter per key
+    rrows = []
+    for k in range(5):
+        ts = 0.0
+        for _ in range(80):
+            ts += rng.random() * 20 + 0.001
+            rrows.append((f"u{k}", ts, f"p{k}_{ts:.3f}"))
+    left = spark.createDataFrame(lrows, "id long, k string, ts double")
+    right = spark.createDataFrame(rrows, "k string, rts double, tag string")
+
+    a = (
+        asof_join(left, right, "k", "ts", "rts", ["tag"], "id")
+        .select("id", "asof_rts", "tag")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    b = (
+        asof_join_pairs(left, right, "k", "ts", "rts", ["tag"], "id")
+        .select("id", "asof_rts", "tag")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_join_plan_has_no_join(spark):
+    """The scale argument: the default as-of is one shuffle + sort, never a
+    pair join — O(pairs) blowup is structurally impossible."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "ts", "rts", [], "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" in plan
 
 
 def test_asof_join_pandas_matches_composed(spark):

@@ -44,6 +44,6 @@ def test_compaction_preserves_content(spark, files_df, tmp_path):
         assert stats1.loc[p, "n_files"] < stats0.loc[p, "n_files"]
 
     # second pass is a no-op
-    assert compact_partitions(spark, out, min_files=4, target_rows_per_file=10_000) == [] or True
+    assert compact_partitions(spark, out, min_files=4, target_rows_per_file=10_000) == []
     again = _canon(CP.read_output(spark, out).toPandas())
     pd.testing.assert_frame_equal(before, again)

@@ -72,3 +72,53 @@ def test_embedding_cosine_pairs(spark):
     out = D.embedding_cosine_pairs(df, "id", "v", "grp", threshold=0.95).toPandas()
     got = set(map(tuple, out[["a", "b"]].values))
     assert got == {(1, 2)}  # 3 orthogonal; 4 in another group
+
+
+def test_jaccard_prefix_equals_cooccur(spark, docs):
+    """The prefix-filtered form is result-identical to the co-occurrence
+    form (both exact) across thresholds and shingle sizes."""
+    for k, t in [(1, 0.5), (2, 0.4), (3, 0.3)]:
+        a = (
+            D.ngram_jaccard_pairs(docs, "id", "text", shingle_k=k, threshold=t,
+                                  method="prefix")
+            .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        b = (
+            D.ngram_jaccard_pairs(docs, "id", "text", shingle_k=k, threshold=t,
+                                  method="cooccur")
+            .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        assert list(map(tuple, a.values)) == list(map(tuple, b.values)), (k, t)
+
+
+def test_jaccard_prefix_bounds_skewed_token(spark):
+    """One token present in 50% of docs must NOT quadratically explode the
+    candidate join: the hot token has max df, sorts last in the global
+    (df, shingle) order, and falls out of every prefix. Naive posting-list
+    joining would emit ~n²/8 ≈ 31k pairs for the hot token alone; the
+    prefix candidates must stay at the handful of true near-dup pairs."""
+    n = 500
+    rows = []
+    for i in range(n):
+        words = [f"u{i}a", f"u{i}b", f"u{i}c"]  # unique filler
+        if i % 2 == 0:
+            words.append("hottoken")
+        rows.append((i, " ".join(words), "g"))
+    # plant 3 true near-dup pairs (share 3 of 4 unigrams)
+    rows.append((n, "u0a u0b u0c extra0", "g"))
+    rows.append((n + 1, "u2a u2b u2c extra1", "g"))
+    rows.append((n + 2, "u4a u4b u4c extra2", "g"))
+    df = spark.createDataFrame(rows, "id long, text string, grp string")
+
+    cand = D.jaccard_prefix_candidates(
+        df, "id", "text", group_col="grp", shingle_k=1, threshold=0.5
+    )
+    n_cand = cand.count()
+    assert n_cand < 50, n_cand  # vs ~31k if the hot token joined
+
+    pairs = D.ngram_jaccard_pairs(
+        df, "id", "text", group_col="grp", shingle_k=1, threshold=0.5,
+        method="prefix",
+    ).toPandas()
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    assert {(0, n), (2, n + 1), (4, n + 2)} <= got

@@ -83,10 +83,10 @@ def test_entry_smoke(spark):
 
 
 ROWS_ONLY_DOCUMENTED = {
-    # model-UDF / KMeans based — no SQL-expressible oracle by design
+    # model-UDF based — no SQL-expressible oracle by design
+    # (embed_ivf_topk graduated to a self-validating oracle row in round 2)
     "pipeline_keep_drop",
     "pipeline_metrics",
-    "embed_ivf_topk",
 }
 
 

@@ -11,11 +11,28 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from data_quality_spark.functions import models as M
-from data_quality_spark.functions.scrub import scrub_series, scrub_text
+from data_quality_spark.functions.scrub import (
+    scrub_series,
+    scrub_series_sequential,
+    scrub_text,
+)
 from data_quality_spark.oracle import heuristic_features
 
 text_st = st.text(max_size=400)
 texts_st = st.lists(text_st, min_size=0, max_size=20)
+
+# adversarial alphabet: rule fragments + boundary characters, so random
+# concatenations hit rule edges far more often than uniform text would
+_scrubby_st = st.lists(
+    st.sampled_from(
+        [
+            "a@b.co", "AKIA", "0123456789ABCDEF", "dammit", "Crappy",
+            "deadbeef" * 5, "deadbeef" * 9, "@", ".", " ", ">", "x",
+            "0", "co", "jackass!",
+        ]
+    ),
+    max_size=12,
+).map("".join)
 
 
 @settings(max_examples=60, deadline=None)
@@ -32,6 +49,24 @@ def test_scrub_idempotent_and_sha_stable(texts):
                 hashlib.sha256(orig.encode()).hexdigest()
                 == hashlib.sha256(scr.encode()).hexdigest()
             )
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.one_of(text_st, _scrubby_st), max_size=16))
+def test_scrub_prefilter_equals_sequential(texts):
+    """The combined-search prefilter fast path must be byte-identical to the
+    plain sequential chain (the frozen semantics) on adversarial inputs."""
+    s = pd.Series(texts, dtype=object)
+    assert (scrub_series(s) == scrub_series_sequential(s)).all()
+
+
+def test_scrub_hex_secret_unbounded():
+    """v2: hex runs of 65+ chars (SHA-512-style tokens) are scrubbed — the
+    v1 {40,64} bound could not match inside a longer run."""
+    long_hex = "ab" * 64  # 128 hex chars
+    assert scrub_text(f"token {long_hex} end") == "token <SECRET> end"
+    assert scrub_text(f"sig {'ab' * 20} end") == "sig <SECRET> end"  # 40 still
+    assert scrub_text("short abcdef0123 end") == "short abcdef0123 end"
 
 
 @settings(max_examples=40, deadline=None)
