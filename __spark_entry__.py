@@ -449,6 +449,47 @@ def _sql_dedup_jaccard(k: int = 3, threshold: float = 0.5) -> str:
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: minhash-LSH candidate pairs → connected
+    components (operators/dedup.connected_components, iterative min-label
+    propagation) → (doc_id, cluster_id, kept). The oracle recomputes the
+    same LSH pairs in SQL and closes them with a recursive CTE — component
+    id = min reachable key in both engines."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = DD.minhash_candidates(
+        d, "doc_id", "text", MINHASH_NUM, MINHASH_BANDS, MINHASH_K
+    ).select(F.col("a"), F.col("b"))
+    comp = DD.connected_components(pairs, d, "doc_id")
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("kept"),
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    # transitive closure of the SAME minhash-LSH pairs the Spark side uses
+    # (SQL_DEDUP_MINHASH reproduces the signatures bit-for-bit); component
+    # id = min reachable node = the propagation fixpoint
+    return f"""
+    WITH RECURSIVE pairs AS ({_sql_dedup_minhash()}),
+    e AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.n, e.dst FROM reach r JOIN e ON r.m = e.src
+    )
+    SELECT n AS doc_id,
+           min(m) AS cluster_id,
+           CASE WHEN n = min(m) THEN 1 ELSE 0 END AS kept
+    FROM reach GROUP BY n
+    """
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return DD.simhash(d, "text").select("doc_id", "simhash")
@@ -1427,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "tpch_q1": q_tpch_q1,
@@ -1484,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": _sql_dedup_minhash(),
         "dedup_jaccard": _sql_dedup_jaccard(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "dedup_simhash": _sql_dedup_simhash(),
         "embed_topk": SQL_EMBED_TOPK,
         "embed_lsh_buckets": _sql_embed_lsh_buckets(),

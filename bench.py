@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_jaccard",
     "dedup_simhash",
+    "dedup_clusters",
     "embed_topk",
     "embed_lsh_buckets",
     "events_hourly",

@@ -388,6 +388,62 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
     return df.withColumn("simhash", sig).drop("_simhash_wh")
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    key_col: str,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from candidate pairs: connected components by
+    iterative min-label propagation (each node's label = min key reachable;
+    the cluster representative is the min doc key, so `key == cluster_id`
+    picks the canonical survivor).
+
+    ``edges``: (a, b) undirected candidate pairs; ``nodes``: one row per
+    ``key_col``. Returns (key_col, cluster_id).
+
+    Scale notes: one join + one groupBy per iteration; iterations = graph
+    diameter, and LSH dedup graphs are unions of near-cliques (diameter
+    2-3), so this converges in a handful of rounds. Each iteration is
+    localCheckpoint()ed — iterative DataFrame plans otherwise grow lineage
+    linearly and re-plan cost quadratically. Convergence test is
+    sum(label): labels only ever decrease, so an unchanged sum IS a
+    fixpoint — one cheap agg instead of an old-vs-new join. At 10¹²-node
+    scale swap the propagation loop for the alternating large-star /
+    small-star algorithm (same join primitives, O(log n) rounds)."""
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()  # edges may be an expensive plan (LSH join) —
+        # materialize ONCE, not once per propagation round
+    )
+    labels = nodes.select(
+        F.col(key_col).alias("node"), F.col(key_col).alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nb = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        labels = (
+            labels.join(nb, labels.node == nb.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias(key_col), F.col("label").alias("cluster_id"))
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     key_col: str,

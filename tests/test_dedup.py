@@ -122,3 +122,30 @@ def test_jaccard_prefix_bounds_skewed_token(spark):
     ).toPandas()
     got = set(map(tuple, pairs[["a", "b"]].values))
     assert {(0, n), (2, n + 1), (4, n + 2)} <= got
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-chain (propagation needs multiple rounds), a 2-clique, and two
+    singletons: labels converge to the component minimum everywhere."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    nodes = spark.createDataFrame(
+        [(k,) for k in [1, 2, 3, 4, 10, 11, 20, 21]], "id long"
+    )
+    out = (
+        D.connected_components(edges, nodes, "id")
+        .toPandas().set_index("id")["cluster_id"].to_dict()
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_connected_components_kept_one_per_cluster(spark, docs):
+    pairs = D.minhash_candidates(docs, "id", "text")
+    comp = D.connected_components(pairs, docs, "id").toPandas()
+    # every cluster representative is a member of its own cluster
+    reps = set(comp.cluster_id)
+    assert reps <= set(comp.id)
+    # exact dups 1,2 must share a cluster
+    m = comp.set_index("id")["cluster_id"]
+    assert m[1] == m[2]
