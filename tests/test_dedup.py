@@ -149,3 +149,16 @@ def test_connected_components_kept_one_per_cluster(spark, docs):
     # exact dups 1,2 must share a cluster
     m = comp.set_index("id")["cluster_id"]
     assert m[1] == m[2]
+
+
+def test_jaccard_candidate_plan_no_inlined_generate_filter(spark, docs):
+    """Regression gate for the InferFiltersFromGenerate trap: a plain
+    explode over the shingle expression gets a size()>0 filter pushed below
+    the projection with the md5 word-hash array INLINED — re-evaluated per
+    element_at, O(n²) md5s per doc. explode_outer avoids the rule; no
+    Filter node may contain the md5 hash expression."""
+    cand = D.jaccard_prefix_candidates(docs, "id", "text", shingle_k=3)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line and "md5" in line:
+            raise AssertionError(f"inlined generate filter reappeared: {line[:200]}")
