@@ -1076,6 +1076,28 @@ SQL_SPLIT_ROW = """
 """
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum downsampling (corpus mixing): keep 50% of
+    en, 20% of de, 5% of everything else — membership is a pure md5
+    function of doc_id (operators/splits.stratified_sample), so the exact
+    sampled row set is engine-reproducible (full hash check, not a count
+    tolerance)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = SP.stratified_sample(
+        d, "lang", "doc_id", {"en": 0.5, "de": 0.2}, default_rate=0.05
+    )
+    return out.select("doc_id", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                  ELSE 0.05 END) * 10000 AS BIGINT)
+"""
+
+
 def q_split_group(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").select("doc_id", "source")
     sp = SP.with_group_split(d, "source")
@@ -1484,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
         "split_row": q_split_row,
+        "sample_stratified": q_sample_stratified,
         "split_group": q_split_group,
         "scrub_documents": q_scrub_documents,
         "string_render": q_string_render,
@@ -1544,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_json": SQL_EVENTS_JSON,
         "split_row": SQL_SPLIT_ROW,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "split_group": SQL_SPLIT_GROUP,
         "scrub_documents": SQL_SCRUB_DOCUMENTS,
         "string_render": SQL_STRING_RENDER,

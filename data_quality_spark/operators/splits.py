@@ -43,3 +43,29 @@ def with_group_split(
         split_col,
         F.when(hash_bucket(F.col(group_col)) < test_pct, "test").otherwise("train"),
     )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the corpus-mixing step of a
+    training-data pipeline: e.g. keep 100% of rare languages, 5% of the
+    dominant one). ``rates`` maps stratum value → keep fraction.
+
+    Unlike df.sampleBy (seeded RNG whose stream depends on partitioning),
+    membership is a pure function of the KEY — md5 bucket < rate·10⁴ — so
+    the sample is reproducible across runs/cluster layouts and in the
+    DuckDB oracle, and survives repartitioning. A narrow filter: no
+    shuffle, prunes at scan time when possible."""
+    rate_expr = None
+    for v, r in rates.items():
+        cond = F.col(strata_col) == v
+        rate_expr = (
+            F.when(cond, F.lit(r)) if rate_expr is None
+            else rate_expr.when(cond, F.lit(r))
+        )
+    rate_expr = rate_expr.otherwise(F.lit(default_rate)) if rate_expr is not None \
+        else F.lit(default_rate)
+    bucket = hash_bucket(F.col(key_col), buckets=10_000)
+    return df.filter(bucket < (rate_expr * 10_000).cast("bigint"))

@@ -174,3 +174,30 @@ def test_approx_quantiles_within_rank_band(spark):
         .toPandas()
     )
     assert ((both.ap - both.ex).abs() <= 0.05 * both.ex.abs() + 1e-9).all(), both
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark):
+    from data_quality_spark.operators.splits import stratified_sample
+    from pyspark.sql import functions as F
+
+    d = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr").alias("lang"),
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    s1 = stratified_sample(d, "lang", "k", rates, default_rate=0.02)
+    got = {r["lang"]: r["n"] for r in
+           s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = 20_000 / 3
+    assert abs(got["en"] / base - 0.5) < 0.03
+    assert abs(got["de"] / base - 0.1) < 0.02
+    assert abs(got.get("fr", 0) / base - 0.02) < 0.01
+    # exact determinism: same rows every time (pure function of the key)
+    a = sorted(r["k"] for r in s1.collect())
+    b = sorted(r["k"] for r in
+               stratified_sample(d, "lang", "k", rates, 0.02).collect())
+    assert a == b
+    # no shuffle: a narrow filter over the scan
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
