@@ -582,6 +582,46 @@ def _sql_embed_lsh_buckets() -> str:
     """
 
 
+def q_embed_topk_batch(spark, sf_dir):
+    """Batch ANN join: top-5 corpus neighbors for each of the first 8
+    vectors, LSH-bucket-pruned then exact cosine (similarity.lsh_topk_join).
+    The oracle rebuilds the same sign buckets from the shared plane
+    literals and takes the same window top-k."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = e.filter(F.col("vec_id") < 8)
+    return SIM.lsh_topk_join(e, queries, "vec_id", "v", PLANES, k=5)
+
+
+def _sql_embed_topk_batch() -> str:
+    terms = []
+    for j, p in enumerate(PLANES):
+        lits = ", ".join(repr(float(x)) for x in p)
+        terms.append(
+            f"CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) > 0 "
+            f"THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {bucket} AS bucket, sqrt(list_dot_product(v, v)) AS n
+      FROM e
+    )
+    SELECT q.vec_id AS query_vec_id, c.vec_id,
+           round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) DESC,
+                        c.vec_id ASC) AS BIGINT) AS rank
+    FROM b q JOIN b c ON q.bucket = c.bucket
+    WHERE q.vec_id < 8
+    QUALIFY rank <= 5
+    """
+
+
 # ---------------------------------------------------------------------------
 # relational core: TPC-H-style aggregation + joins
 
@@ -1493,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
+        "embed_topk_batch": q_embed_topk_batch,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
         "decode_join": q_decode_join,
@@ -1553,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _sql_dedup_simhash(),
         "embed_topk": SQL_EMBED_TOPK,
         "embed_lsh_buckets": _sql_embed_lsh_buckets(),
+        "embed_topk_batch": _sql_embed_topk_batch(),
         "embed_ivf_topk": SQL_EMBED_IVF_TOPK,
         "tpch_q1": SQL_TPCH_Q1,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "embed_topk",
     "embed_lsh_buckets",
+    "embed_topk_batch",
     "events_hourly",
     "events_sessions",
     "events_count_windows",

@@ -77,6 +77,55 @@ def lsh_topk(
     return brute_force_topk(cand, key_col, vec_col, query, k)
 
 
+def lsh_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    k: int = 10,
+) -> DataFrame:
+    """Batch ANN: top-k corpus neighbors for EVERY query row at once — the
+    realistic ANN workload (single-query probes don't amortize a scan).
+
+    Both sides get the same LSH sign-bucket; the join on the bucket column
+    is the prune (each query scores only its bucket's corpus fraction), then
+    exact cosine + window top-1..k per query. At scale the corpus bucket
+    column is precomputed and the table partitioned by it → the join is
+    co-located and partition-pruned. Norms are materialized as columns
+    before the join (no-CSE rule: the dot-product subtree must not be
+    re-evaluated inside the cosine expression twice).
+
+    Returns (query_<key>, <key>, cosine, rank), ties broken by corpus key —
+    fully deterministic and oracle-reproducible."""
+    def norm(v):
+        return F.sqrt(_dot(v, v))
+
+    cb = (
+        corpus.select(F.col(key_col), F.col(vec_col).alias("_cv"))
+        .withColumn("bucket", lsh_bucket(F.col("_cv"), planes))
+        .withColumn("_cn", norm(F.col("_cv")))
+    )
+    qb = (
+        queries.select(F.col(key_col).alias(f"query_{key_col}"),
+                       F.col(vec_col).alias("_qv"))
+        .withColumn("bucket", lsh_bucket(F.col("_qv"), planes))
+        .withColumn("_qn", norm(F.col("_qv")))
+    )
+    joined = qb.join(cb, "bucket").withColumn(
+        "cosine",
+        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6),
+    )
+    w = Window.partitionBy(f"query_{key_col}").orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(f"query_{key_col}", key_col, "cosine", "rank")
+    )
+
+
 def topk_per_group(
     df: DataFrame, group_col: str, order_col: str, k: int, descending: bool = True
 ) -> DataFrame:

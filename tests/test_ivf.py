@@ -49,3 +49,30 @@ def test_ivf_probes_fraction_of_corpus(spark, embeddings):
     n_all = assigned.count()
     assert n_cand < n_all  # strictly less than a full scan
     assert assigned.select("ivf_cluster").distinct().count() > 4
+
+
+def test_lsh_topk_join_batch_matches_brute_force_within_bucket(spark, embeddings):
+    """Batch ANN join: for each query, results equal brute-force top-k
+    restricted to the query's bucket (the prune is the ONLY approximation),
+    and the self-match ranks first."""
+    from data_quality_spark.operators.similarity import (
+        hyperplanes, lsh_bucket, lsh_topk_join, brute_force_topk,
+    )
+
+    planes = hyperplanes(64, n_planes=4, seed=1234)
+    out = lsh_topk_join(embeddings, embeddings.filter(F.col("vec_id") < 3),
+                        "vec_id", "v", planes, k=5).toPandas()
+    assert set(out.query_vec_id) == {0, 1, 2}
+    top1 = out[out["rank"] == 1].set_index("query_vec_id")
+    for q in (0, 1, 2):
+        assert top1.loc[q, "vec_id"] == q  # self-similarity = 1.0 wins
+        assert abs(top1.loc[q, "cosine"] - 1.0) < 1e-6
+
+    # prune check: equals exact top-k over the bucket-restricted corpus
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    for q in (0, 1, 2):
+        qrow = bucketed.filter(F.col("vec_id") == q).collect()[0]
+        cand = bucketed.filter(F.col("bucket") == qrow["bucket"])
+        exact = brute_force_topk(cand, "vec_id", "v", list(qrow["v"]), 5).toPandas()
+        got = out[out.query_vec_id == q].sort_values("rank")
+        assert list(got.vec_id) == list(exact.vec_id), q
