@@ -49,7 +49,9 @@ def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
 
 
 def _shingles(text_col: str, k: int):
-    """Word k-shingles as space-joined strings (distinct)."""
+    """Word k-shingles as space-joined strings (distinct). Kept as the
+    readable reference form; the operators all run on hashed_shingle_sets
+    (string shingles never materialize on the hot path)."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -278,12 +280,14 @@ def ngram_jaccard_pairs(
     is bounded by rare-shingle co-occurrence instead of f² per frequent
     shingle — the form that survives skewed corpora at 100 TB.
 
-    ``method="cooccur"``: explode distinct shingles → self-join on the
-    shingle (+ optional blocking ``group_col``) → count co-occurrences per
-    pair (= |A∩B|) → |A∪B| = |A|+|B|−|A∩B|. No per-pair set
-    intersection (measured ~6× faster than the naive pair-join at sf0.1),
-    but posting lists are unbounded: one shingle in f docs yields f² join
-    rows — quadratic under token skew. Kept for dense small groups."""
+    ``method="cooccur"``: explode the same hashed shingle sets → self-join
+    on the shingle (+ optional blocking ``group_col``) → count
+    co-occurrences per pair (= |A∩B|) → |A∪B| = |A|+|B|−|A∩B|. No
+    per-pair set intersection (measured ~6× faster than the naive pair-join
+    at sf0.1), but posting lists are unbounded: one shingle in f docs
+    yields f² join rows — quadratic under token skew. Kept for dense small
+    groups. Both methods share the hashed-shingle representation, so they
+    are result-identical by construction."""
     if method == "prefix":
         cand = jaccard_prefix_candidates(
             df, key_col, text_col, group_col, shingle_k, threshold
@@ -313,14 +317,13 @@ def ngram_jaccard_pairs(
             )
             .filter(F.col("jaccard") >= threshold)
         )
-    sh = df.select(
-        F.col(key_col).alias("k"),
-        *([F.col(group_col).alias("g")] if group_col else []),
-        _shingles(text_col, shingle_k).alias("sh"),
-    )
-    sizes = sh.select("k", F.size("sh").alias("sz"))
+    sh = hashed_shingle_sets(df, key_col, text_col, group_col, shingle_k)
+    sizes = sh.select("k", "sz")
     words = sh.select(
-        "k", *(["g"] if group_col else []), F.explode("sh").alias("w")
+        # explode_outer: see jaccard_prefix_candidates — plain explode lets
+        # InferFiltersFromGenerate inline the shingle expression into a
+        # pushed-down filter (quadratic re-evaluation)
+        "k", *(["g"] if group_col else []), F.explode_outer("sh").alias("w")
     )
     l, r = words.alias("l"), words.alias("r")
     on = [F.col("l.w") == F.col("r.w"), F.col("l.k") < F.col("r.k")]

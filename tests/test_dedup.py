@@ -162,3 +162,44 @@ def test_jaccard_candidate_plan_no_inlined_generate_filter(spark, docs):
     for line in plan.splitlines():
         if "Filter" in line and "md5" in line:
             raise AssertionError(f"inlined generate filter reappeared: {line[:200]}")
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized gate: min-label propagation must equal a pure-python
+    union-find on arbitrary graphs (chains, stars, cycles, islands)."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(4):
+        n = rng.randrange(8, 40)
+        m = rng.randrange(0, n * 2)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for node in range(n):
+            root = find(node)
+            comp_min = min(x for x in range(n) if find(x) == root)
+            want[node] = comp_min
+
+        edges = spark.createDataFrame(
+            edge_list or [(0, 0)], "a long, b long"
+        )
+        nodes = spark.createDataFrame([(k,) for k in range(n)], "id long")
+        got = (
+            D.connected_components(edges, nodes, "id")
+            .toPandas().set_index("id")["cluster_id"].to_dict()
+        )
+        assert got == want, (trial, n, m)
