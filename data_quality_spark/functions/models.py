@@ -255,7 +255,8 @@ class BigramLM:
         if len(buf) >= 2:
             doc = _doc_index(offs, len(buf))
             same = doc[:-1] == doc[1:]
-            idx = buf[:-1].astype(np.int64) * 256 + buf[1:].astype(np.int64)
+            # int32 pair index (values < 65536) — half the traffic of int64
+            idx = buf[:-1].astype(np.int32) * 256 + buf[1:]
             lp = self.logp[idx[same]].astype(np.float64)
             d = doc[:-1][same]
             sums = np.bincount(d, weights=lp, minlength=n)
@@ -273,8 +274,9 @@ def byte_entropy(texts) -> np.ndarray:
     hist = np.zeros((n, 256), dtype=np.float64)
     if len(buf) and n:
         doc = _doc_index(offs, len(buf))
+        # int32 flat index: doc is int32 and int32*256+uint8 stays int32
         hist = (
-            np.bincount(doc * 256 + buf.astype(np.int64), minlength=n * 256)
+            np.bincount(doc * 256 + buf, minlength=n * 256)
             .astype(np.float64)
             .reshape(n, 256)
         )

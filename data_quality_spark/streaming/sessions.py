@@ -1,0 +1,52 @@
+"""Streaming sessionization — native gap-based session windows.
+
+The batch `events_sessions` query derives sessions with a lag/cumsum
+window; on a stream that per-key ordering is unavailable, so the streaming
+form uses Spark's stateful ``session_window`` aggregation: a session is an
+open interval per key that EXTENDS while events keep arriving within
+``gap`` and closes (emits, append-mode) once the event-time watermark
+passes its end. State per open session is a few counters — bounded by
+active keys, the shape that survives an unbounded stream at cluster scale.
+Sessions merge across micro-batches (two halves of one burst arriving in
+different triggers still emit ONE session) — asserted in
+tests/test_streaming_sessions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sessionized_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key gap sessions: (key, session_start, session_end, n_events,
+    sum_v). Works on both streaming and batch DataFrames (same plan —
+    handy for backfills with identical semantics)."""
+    agg = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    return (
+        agg.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").alias("sum_v"),
+        )
+        .select(
+            key_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "sum_v",
+        )
+    )

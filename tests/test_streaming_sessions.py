@@ -1,0 +1,99 @@
+"""Streaming session windows: sessions must merge across micro-batches
+(stateful), split on gaps, and emit only once the watermark passes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_spark.streaming.sessions import sessionized_counts
+
+
+def _write(spark, rows, path):
+    df = spark.createDataFrame(rows, "user_id long, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain(spark, in_dir, out_dir, ckpt):
+    stream = spark.readStream.schema("user_id long, ts timestamp, v double").parquet(
+        in_dir
+    )
+    agg = sessionized_counts(stream, gap="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_sessions_merge_across_batches_and_split_on_gap(spark, tmp_path):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "ck")
+    )
+    # batch 1: first half of u1's burst + a u2 singleton
+    _write(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:02:00", 2.0),
+            (2, "2024-01-01 10:00:30", 5.0),
+        ],
+        in_dir,
+    )
+    _drain(spark, in_dir, out_dir, ckpt)
+    # batch 2: extends u1's session (within the 5-min gap of 10:02), then a
+    # separate burst after a gap, then a far-future row that advances the
+    # watermark so everything closes and emits
+    _write(
+        spark,
+        [
+            (1, "2024-01-01 10:05:00", 3.0),
+            (1, "2024-01-01 10:30:00", 4.0),
+            (1, "2024-01-01 12:00:00", 0.0),
+        ],
+        in_dir,
+    )
+    _drain(spark, in_dir, out_dir, ckpt)
+
+    out = (
+        spark.read.schema(
+            "user_id long, session_start timestamp, session_end timestamp, "
+            "n_events long, sum_v double"
+        )
+        .parquet(out_dir)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out.user_id == 1]
+    # one MERGED session covering 10:00–10:05 events (3 events, across two
+    # micro-batches) and one separate 10:30 session
+    merged = u1[u1.n_events == 3]
+    assert len(merged) == 1
+    assert str(merged.iloc[0].session_start) == "2024-01-01 10:00:00"
+    assert str(merged.iloc[0].session_end) == "2024-01-01 10:10:00"  # last+gap
+    assert merged.iloc[0].sum_v == 6.0
+    single = u1[(u1.n_events == 1) & (u1.sum_v == 4.0)]
+    assert len(single) == 1
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and u2.iloc[0].n_events == 1 and u2.iloc[0].sum_v == 5.0
+
+
+def test_sessionized_counts_batch_form(spark):
+    """Same function on a batch frame: pure session assignment, no
+    watermark needed (backfill path)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:03:00", 1.0),
+        (1, "2024-01-01 10:20:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionized_counts(df).toPandas().sort_values("session_start")
+    assert list(out.n_events) == [2, 1]
