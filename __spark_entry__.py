@@ -1206,6 +1206,84 @@ SQL_DISTINCT_AGG = """
 """
 
 
+def q_cube_events(spark, sf_dir):
+    """CUBE over (event_type, day): all four grouping-set combinations in
+    one pass (map-side expand, one shuffle) with grouping_id
+    disambiguating the NULL-as-total rows — the multi-dimensional metrics
+    shape a dashboard layer asks a 100 TB table for."""
+    _utc(spark)
+    e = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("vd"),
+    )
+    return (
+        e.cube("event_type", "day")
+        .agg(
+            # grouping_id must be computed inside the grouping operator
+            F.grouping_id("event_type", "day").cast("int").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("vd").cast("double"), 4).alias("sum_v"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.unix_timestamp("day").cast("bigint"), F.lit(-1)).alias(
+                "day_epoch"
+            ),
+            "gid",
+            "n",
+            "sum_v",
+        )
+    )
+
+
+SQL_CUBE_EVENTS = """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(epoch(day) AS BIGINT), -1) AS day_epoch,
+           CAST(grouping(event_type) * 2 + grouping(day) AS INTEGER) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(vd) AS DOUBLE), 4) AS sum_v
+    FROM (SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(value AS DECIMAL(18,6)) AS vd FROM events)
+    GROUP BY CUBE (event_type, day)
+"""
+
+
+def q_distinct_approx(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++ — mergeable sketch, bounded
+    memory; the at-scale form of distinct_agg). Sketch estimates differ per
+    engine, so the oracle pins the CONTRACT: the estimate must sit within
+    the configured relative standard deviation band of the exact count
+    (rsd 0.01, gate at 5·rsd) — the same self-check discipline as
+    quantiles_approx."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey"
+    )
+    rsd = 0.01
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("ap"),
+        F.countDistinct("l_partkey").alias("ex"),
+        F.approx_count_distinct("l_suppkey", rsd).alias("ap2"),
+        F.countDistinct("l_suppkey").alias("ex2"),
+    )
+    band = 5 * rsd
+    return g.select(
+        "l_returnflag",
+        (F.abs(F.col("ap") - F.col("ex")) <= F.col("ex") * band)
+        .cast("int")
+        .alias("parts_ok"),
+        (F.abs(F.col("ap2") - F.col("ex2")) <= F.col("ex2") * band)
+        .cast("int")
+        .alias("supps_ok"),
+    )
+
+
+SQL_DISTINCT_APPROX = """
+    SELECT l_returnflag, 1 AS parts_ok, 1 AS supps_ok
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """union / intersect / except over customer key sets."""
     c = _read(spark, sf_dir, "customer")
@@ -1552,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_documents": q_scrub_documents,
         "string_render": q_string_render,
         "distinct_agg": q_distinct_agg,
+        "distinct_approx": q_distinct_approx,
+        "cube_events": q_cube_events,
         "set_ops": q_set_ops,
         "embed_cosine_dup": q_embed_cosine_dup,
         "asof_join": q_asof_join,
@@ -1614,6 +1694,8 @@ def oracle_sql() -> dict[str, str]:
         "scrub_documents": SQL_SCRUB_DOCUMENTS,
         "string_render": SQL_STRING_RENDER,
         "distinct_agg": SQL_DISTINCT_AGG,
+        "distinct_approx": SQL_DISTINCT_APPROX,
+        "cube_events": SQL_CUBE_EVENTS,
         "set_ops": SQL_SET_OPS,
         "embed_cosine_dup": _sql_embed_cosine_dup(),
         "asof_join": SQL_ASOF_JOIN,

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "quantiles_approx",
     "pivot_event_types",
     "distinct_agg",
+    "distinct_approx",
+    "cube_events",
     "semi_join",
     "string_render",
 ]
