@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "distinct_agg",
     "distinct_approx",
     "cube_events",
+    "outliers_mad",
     "semi_join",
     "string_render",
 ]
