@@ -1249,6 +1249,34 @@ SQL_CUBE_EVENTS = """
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary building: corpus-wide token frequencies → top-100 by
+    (count desc, token asc). One explode + one hash-agg + a tiny top-k —
+    at 100 TB the agg is map-side-combined so the shuffle carries one row
+    per distinct token per partition, and the top-k is a single-partition
+    sort over the already-aggregated dictionary."""
+    d = _read(spark, sf_dir, "documents").select(
+        F.explode_outer(F.split(F.lower("text"), " ")).alias("token")
+    )
+    return (
+        d.filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+SQL_VOCAB_TOPK = """
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents)
+    WHERE length(token) > 0
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 100
+"""
+
+
 def q_outliers_mad(spark, sf_dir):
     """Robust per-group outlier detection: median/MAD z-score (the
     quality-filter primitive for metric anomalies — robust to the outliers
@@ -1688,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_approx": q_distinct_approx,
         "cube_events": q_cube_events,
         "outliers_mad": q_outliers_mad,
+        "vocab_topk": q_vocab_topk,
         "set_ops": q_set_ops,
         "embed_cosine_dup": q_embed_cosine_dup,
         "asof_join": q_asof_join,
@@ -1753,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_approx": SQL_DISTINCT_APPROX,
         "cube_events": SQL_CUBE_EVENTS,
         "outliers_mad": SQL_OUTLIERS_MAD,
+        "vocab_topk": SQL_VOCAB_TOPK,
         "set_ops": SQL_SET_OPS,
         "embed_cosine_dup": _sql_embed_cosine_dup(),
         "asof_join": SQL_ASOF_JOIN,

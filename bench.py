@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "distinct_approx",
     "cube_events",
     "outliers_mad",
+    "vocab_topk",
     "semi_join",
     "string_render",
 ]
