@@ -203,3 +203,20 @@ def test_connected_components_random_graphs_match_union_find(spark):
             .toPandas().set_index("id")["cluster_id"].to_dict()
         )
         assert got == want, (trial, n, m)
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A 300-node path has diameter 300: plain min-propagation would need
+    300 rounds and silently truncate at max_iters; pointer doubling must
+    converge within ~log2(300)+slack rounds — and the operator must RAISE
+    rather than return partial labels if it can't."""
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(k,) for k in range(n)], "id long")
+    out = (
+        D.connected_components(edges, nodes, "id", max_iters=14)
+        .toPandas()["cluster_id"]
+    )
+    assert (out == 0).all()
