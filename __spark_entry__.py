@@ -1133,8 +1133,8 @@ SQL_SAMPLE_STRATIFIED = """
     SELECT doc_id, lang
     FROM documents
     WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
-          < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
-                  ELSE 0.05 END) * 10000 AS BIGINT)
+          < CAST(round((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                  ELSE 0.05 END) * 10000) AS BIGINT)
 """
 
 
@@ -1449,10 +1449,13 @@ def _sql_embed_cosine_dup() -> str:
 
 
 def q_asof_join(spark, sf_dir):
-    """As-of join (composed: range equi-join + window top-1): each purchase
-    event matched to the user's latest click at-or-before it. Oracle uses
-    DuckDB's native ASOF JOIN. Output carries the click's epoch (not its id)
-    so same-timestamp ties cannot produce engine-dependent rows."""
+    """As-of join (union-window form, operators/asof.py: union both sides,
+    ``last(payload, ignorenulls)`` over a per-key ordered window — the plan
+    contains NO join node and never materializes candidate pairs): each
+    purchase event matched to the user's latest click at-or-before it.
+    Oracle uses DuckDB's native ASOF JOIN. Output carries the click's epoch
+    (not its id) so same-timestamp ties cannot produce engine-dependent
+    rows."""
     from data_quality_spark.operators.asof import asof_join
 
     _utc(spark)

@@ -38,10 +38,33 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
         "<EMAIL>",
     ),
     ("aws_key", re.compile(r"AKIA[0-9A-Z]{16}"), "<AWS_KEY>"),
+    (
+        # PEM-framed private keys (RSA/EC/DSA/OPENSSH/PKCS8 "PRIVATE KEY").
+        # Runs BEFORE hex_secret so the frame is consumed whole; the base64
+        # body is mixed-case so hex_secret could not have masked it anyway.
+        "private_key",
+        re.compile(
+            r"-----BEGIN [A-Z ]*PRIVATE KEY-----[\s\S]*?-----END [A-Z ]*PRIVATE KEY-----"
+        ),
+        "<PRIVATE_KEY>",
+    ),
     # unbounded {40,}: the v1 upper bound {40,64} let 65+-char runs (e.g.
     # 128-hex SHA-512-style tokens) through because \b can't match inside a
     # longer hex run
     ("hex_secret", re.compile(r"\b[0-9a-f]{40,}\b"), "<SECRET>"),
+    (
+        # phone numbers in separator-delimited 3-3-4 form, optionally with a
+        # +CC prefix and parenthesized area code. A separator is REQUIRED
+        # between groups: plain 10-digit runs (ids, timestamps) are not
+        # phone-shaped enough to scrub in source code.
+        "phone",
+        re.compile(
+            # trailing guard: no word char, and no ".<digit>" continuation
+            # (dotted-number tails) — a bare sentence period is fine
+            r"(?<![\w.])(?:\+\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}(?!\w|\.\d)"
+        ),
+        "<PHONE>",
+    ),
     (
         "toxicity",
         re.compile(r"\b(dammit|crappy|jackass)\b", re.IGNORECASE),
@@ -49,8 +72,9 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
     ),
 ]
 
-# hex_secret upper bound removed (rule semantics change) → version bump
-SCRUB_RULES_VERSION = "scrub-v2"
+# v3: + private_key (PEM frames) and phone (separator-delimited 3-3-4);
+# v2 removed hex_secret's upper bound — any rule-semantics change bumps this
+SCRUB_RULES_VERSION = "scrub-v3"
 
 
 def _inline(pat: re.Pattern) -> str:

@@ -253,7 +253,14 @@ def jaccard_prefix_candidates(
     ranked = words.join(dfc, [*grp, "w"]).withColumn(
         "rn", F.row_number().over(Window.partitionBy("k").orderBy("df", "w"))
     )
-    prefix_len = F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    # epsilon guard: ceil(t*sz) on doubles can round UP past the true integer
+    # (0.1*30 = 3.0000000000000004 → ceil 4), shortening the prefix by one
+    # and breaking exact recall for thresholds not representable in binary
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
+        + 1
+    )
     prefix = ranked.filter(F.col("rn") <= prefix_len).select("k", *grp, "w")
     l, r = prefix.alias("l"), prefix.alias("r")
     on = [F.col("l.w") == F.col("r.w"), F.col("l.k") < F.col("r.k")]

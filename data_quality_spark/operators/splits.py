@@ -68,4 +68,7 @@ def stratified_sample(
     rate_expr = rate_expr.otherwise(F.lit(default_rate)) if rate_expr is not None \
         else F.lit(default_rate)
     bucket = hash_bucket(F.col(key_col), buckets=10_000)
-    return df.filter(bucket < (rate_expr * 10_000).cast("bigint"))
+    # round before casting: a plain cast truncates the double product
+    # (0.29 * 10000 = 2899.9999999999995 → 2899, dropping one bucket and
+    # diverging from decimal oracle math); the SQL oracle mirrors round()
+    return df.filter(bucket < F.round(rate_expr * 10_000).cast("bigint"))

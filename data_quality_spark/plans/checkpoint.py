@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from .. import rules as R
 from ..functions.scrub import SCRUB_RULES_VERSION
+from ..sources import io
 from .partitioning import with_part_id, with_salt
 from .pipeline import OUTPUT_COLUMNS, score_files
 
@@ -95,11 +96,10 @@ def run_pipeline(
         # balance the UDF stage across (part, salt) slices before scoring
         part = part.repartition(len(chunk) * salt_factor, "part_id", "salt")
         scored = score_files(part).select("part_id", *OUTPUT_COLUMNS)
-        (
-            scored.write.mode("overwrite")
-            .partitionBy("part_id")
-            .parquet(data_path(out_dir))
-        )
+        # through the sink seam: on Iceberg this is overwritePartitions()
+        # (transactional per-partition replace); here it falls back to
+        # dynamic-partition-overwrite parquet with identical semantics
+        io.write_scored(scored, data_path(out_dir))
         # metrics/lineage from what was just written (read-back = what's durable)
         written = spark.read.parquet(data_path(out_dir)).filter(
             F.col("part_id").isin(chunk)

@@ -52,6 +52,30 @@ def staging_path(out_dir: str) -> str:
     return f"{out_dir}/_compact_staging"
 
 
+def recover_crashed_swap(out_dir: str) -> list[int]:
+    """Repair a swap interrupted mid-flight (crash between live→trash rename
+    and the staged copy landing). For every ``_compact_trash_part_id=*`` dir:
+    if the live partition is missing, rename the trash copy back to live (the
+    original is always a complete copy); if live exists, the swap finished
+    and only the trash cleanup was lost — delete it. MUST run before staging
+    is wiped: otherwise a re-run rmtree's the fresh copy while nothing
+    restores the trash one, and the partition silently vanishes from readers
+    even though its progress marker says done."""
+    data_dir = Path(data_path(out_dir))
+    restored: list[int] = []
+    if not data_dir.exists():
+        return restored
+    for trash in data_dir.glob("_compact_trash_part_id=*"):
+        pid = int(trash.name.rsplit("=", 1)[1])
+        live = data_dir / f"part_id={pid}"
+        if live.exists():
+            shutil.rmtree(trash)  # swap completed; only cleanup was lost
+        else:
+            trash.rename(live)
+            restored.append(pid)
+    return restored
+
+
 def compact_partitions(
     spark: SparkSession,
     out_dir: str,
@@ -61,6 +85,7 @@ def compact_partitions(
 ) -> list[int]:
     """Rewrite fragmented partitions (stage → verify counts → swap);
     returns the part_ids compacted."""
+    recover_crashed_swap(out_dir)  # BEFORE staging wipe — see its docstring
     stats = partition_file_stats(spark, out_dir)
     if part_ids is not None:
         stats = stats.filter(F.col("part_id").isin(part_ids))

@@ -24,6 +24,7 @@ def sessionized_counts(
     ts_col: str = "ts",
     gap: str = "5 minutes",
     watermark: str = "10 minutes",
+    value_col: str = "v",
 ) -> DataFrame:
     """Per-key gap sessions: (key, session_start, session_end, n_events,
     sum_v). Works on both streaming and batch DataFrames (same plan —
@@ -40,7 +41,7 @@ def sessionized_counts(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("v").alias("sum_v"),
+            F.sum(value_col).alias("sum_v"),
         )
         .select(
             key_col,

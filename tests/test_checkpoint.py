@@ -73,6 +73,27 @@ def test_kill_and_resume_identical(spark, files_df, tmp_path):
     assert prog.run_id.nunique() == 2  # two runs contributed
 
 
+def test_checkpoint_writes_through_sink_seam(spark, files_df, tmp_path, monkeypatch):
+    """The checkpointed data write must route through io.write_scored (the
+    capability-probed Iceberg seam) — flipping the production conf to an
+    Iceberg catalog then changes the actual pipeline write path, not just a
+    helper nobody calls."""
+    from data_quality_spark.sources import io as io_mod
+
+    calls = []
+    real = io_mod.write_scored
+
+    def spy(df, location, **kw):
+        calls.append(location)
+        return real(df, location, **kw)
+
+    monkeypatch.setattr(io_mod, "write_scored", spy)
+    out = str(tmp_path / "seam")
+    CP.run_pipeline(spark, files_df, out, n_parts=2, chunk_size=2)
+    assert calls == [CP.data_path(out)]
+    assert CP.read_output(spark, out).count() == files_df.count()
+
+
 def test_rerun_is_noop(spark, files_df, tmp_path):
     out = str(tmp_path / "noop")
     CP.run_pipeline(spark, files_df, out, n_parts=4, chunk_size=4)

@@ -6,8 +6,15 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
+from pathlib import Path
+
 from data_quality_spark.plans import checkpoint as CP
-from data_quality_spark.plans.compact import compact_partitions, partition_file_stats
+from data_quality_spark.plans.compact import (
+    compact_partitions,
+    partition_file_stats,
+    recover_crashed_swap,
+    staging_path,
+)
 
 
 def _canon(pdf):
@@ -47,3 +54,50 @@ def test_compaction_preserves_content(spark, files_df, tmp_path):
     assert compact_partitions(spark, out, min_files=4, target_rows_per_file=10_000) == []
     again = _canon(CP.read_output(spark, out).toPandas())
     pd.testing.assert_frame_equal(before, again)
+
+
+def test_crashed_swap_is_recovered_before_staging_wipe(spark, files_df, tmp_path):
+    """Crash between live→trash rename and the staged copy landing must NOT
+    lose the partition: a re-run restores the trash copy BEFORE wiping
+    staging (the previous code rmtree'd staging first — the fresh copy —
+    while nothing restored the trash one, silently dropping the partition
+    from readers)."""
+    out = str(tmp_path / "crash")
+    CP.run_pipeline(
+        spark, files_df, out, n_parts=4, chunk_size=1,
+        salt_factor=8, salt_threshold=5,
+    )
+    before = _canon(CP.read_output(spark, out).toPandas())
+
+    data_dir = Path(CP.data_path(out))
+    victim = sorted(
+        int(p.name.split("=")[1]) for p in data_dir.glob("part_id=*")
+    )[0]
+    live = data_dir / f"part_id={victim}"
+    trash = data_dir / f"_compact_trash_part_id={victim}"
+    staging = Path(staging_path(out))
+
+    # simulate the mid-swap crash: live renamed to trash, staged copy still
+    # sitting in _compact_staging (never moved), process died
+    staging.mkdir(parents=True, exist_ok=True)
+    (staging / "leftover").write_text("stale")
+    live.rename(trash)
+    assert not live.exists()
+
+    # partition is now invisible to readers — recovery must bring it back
+    restored = recover_crashed_swap(out)
+    assert restored == [victim] and live.exists() and not trash.exists()
+    after = _canon(CP.read_output(spark, out).toPandas())
+    pd.testing.assert_frame_equal(before, after)
+
+    # and a full re-run (which wipes staging) right after a crash also works
+    live.rename(trash)
+    compact_partitions(spark, out, min_files=10_000)  # no-op compaction pass
+    assert live.exists() and not trash.exists()
+    final = _canon(CP.read_output(spark, out).toPandas())
+    pd.testing.assert_frame_equal(before, final)
+
+    # completed-swap leftover (live present + trash present) is just cleaned
+    import shutil as _sh
+    _sh.copytree(live, trash)
+    assert recover_crashed_swap(out) == [] and live.exists() and not trash.exists()
