@@ -16,6 +16,8 @@ Conventions:
 
 from __future__ import annotations
 
+import functools
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1559,37 +1561,248 @@ SQL_EMBED_IVF_TOPK = """
 """
 
 
+PIPE_N_FILES = 800
+PIPE_SEED = 202
+
+
+@functools.lru_cache(maxsize=1)
+def _pipeline_oracle_pdf():
+    """Reference labels for the driver corpus, computed once by the
+    single-process pandas/numpy oracle (data_quality_spark/oracle.py — the
+    heuristics are an INDEPENDENT pandas implementation of the rule spec;
+    the model cores and scrub chain are shared by construction, the
+    CLAUDE.md reference-label convention). Cached: both pipeline queries and
+    both oracle-SQL generators read it."""
+    from data_quality_spark.corpus import generate_files_pdf
+    from data_quality_spark.oracle import label_files
+
+    return label_files(generate_files_pdf(n_files=PIPE_N_FILES, seed=PIPE_SEED))
+
+
+def _pipeline_oracle_sdf(spark):
+    """The oracle labels as a (broadcastable) Spark frame keyed on
+    (repo, path) — 800 rows."""
+    o = _pipeline_oracle_pdf()
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "repo": o["repo"],
+            "path": o["path"],
+            "o_keep": o["keep"].astype(bool),
+            "o_reasons": o["drop_reasons"].map(",".join),
+            "o_label": o["langid_label"],
+            "o_modified": o["was_modified"].astype(bool),
+            "o_scrubbed": o["scrubbed_content"],
+        }
+    )
+    schema = (
+        "repo string, path string, o_keep boolean, o_reasons string, "
+        "o_label string, o_modified boolean, o_scrubbed string"
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def q_pipeline_keep_drop(spark, sf_dir):
-    """Full quality-filter pipeline over the deterministic synthetic corpus
-    (langid + perplexity UDFs are model-based → no SQL oracle; driver does
-    the rows-only check, pytest does the F1/sha256 gates)."""
+    """Full quality-filter pipeline, self-validating (the IVF/HLL/GK
+    discipline): Spark's scored output is joined PER ROW against the
+    independent oracle labels and the query returns mismatch counts — keep
+    decision, drop reasons, langid label, was_modified flag, and the full
+    scrubbed text (which subsumes the untouched-row sha256 invariant,
+    BASELINE.json input_hint) — plus totals. The DuckDB oracle pins the
+    mismatch counts at zero and the totals at the values the pandas oracle
+    computes, so every drifted row turns the driver hash red."""
     from data_quality_spark.corpus import generate_files_df
     from data_quality_spark.plans.pipeline import score_files
 
-    files = generate_files_df(spark, n_files=800, seed=202)
-    scored = score_files(files)
-    return scored.select(
+    files = generate_files_df(spark, n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    scored = score_files(files).select(
         "repo",
         "path",
-        "commit",
         "keep",
-        F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
+        F.concat_ws(",", "drop_reasons").alias("reasons"),
         "langid_label",
-        F.round("perplexity", 4).alias("perplexity"),
         "was_modified",
-        F.sha2("scrubbed_content", 256).alias("scrubbed_sha"),
+        "scrubbed_content",
     )
+    j = scored.join(F.broadcast(_pipeline_oracle_sdf(spark)), ["repo", "path"])
+    neq = lambda a, b: F.sum((F.col(a) != F.col(b)).cast("long"))  # noqa: E731
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(F.col("was_modified").cast("long")).alias("n_modified"),
+        neq("keep", "o_keep").alias("keep_mismatch"),
+        neq("reasons", "o_reasons").alias("reason_mismatch"),
+        neq("langid_label", "o_label").alias("label_mismatch"),
+        neq("was_modified", "o_modified").alias("modified_mismatch"),
+        neq("scrubbed_content", "o_scrubbed").alias("scrub_mismatch"),
+    )
+
+
+def _sql_pipeline_keep_drop() -> str:
+    o = _pipeline_oracle_pdf()
+    return f"""
+    SELECT CAST({len(o)} AS BIGINT) AS n_rows,
+           CAST({int(o['keep'].sum())} AS BIGINT) AS n_keep,
+           CAST({int(o['was_modified'].sum())} AS BIGINT) AS n_modified,
+           CAST(0 AS BIGINT) AS keep_mismatch,
+           CAST(0 AS BIGINT) AS reason_mismatch,
+           CAST(0 AS BIGINT) AS label_mismatch,
+           CAST(0 AS BIGINT) AS modified_mismatch,
+           CAST(0 AS BIGINT) AS scrub_mismatch
+    """
 
 
 def q_pipeline_metrics(spark, sf_dir):
+    """quality_stats keep-bucket metrics, self-validating: integer counts
+    come straight from Spark (the oracle pins the pandas-oracle values);
+    the float avg_perplexity is checked in-query against the oracle's mean
+    with a 1e-6·(1+|x|) band (double sums re-associate across engines —
+    exact equality is the DECIMAL path, a band is honest for a mean)."""
     from data_quality_spark.corpus import generate_files_df
     from data_quality_spark.plans.pipeline import quality_stats, score_files
 
-    files = generate_files_df(spark, n_files=800, seed=202)
+    files = generate_files_df(spark, n_files=PIPE_N_FILES, seed=PIPE_SEED)
     by_keep, _ = quality_stats(score_files(files))
-    return by_keep.select(
-        "keep", "n", "n_modified", F.round("avg_perplexity", 2).alias("avg_ppl")
+    o = _pipeline_oracle_pdf()
+    om = (
+        o.groupby("keep")
+        .agg(o_avg=("perplexity", "mean"))
+        .reset_index()
     )
+    import pandas as pd  # noqa: F401
+
+    oracle_avg = spark.createDataFrame(
+        om.rename(columns={"keep": "keep_o"}), schema="keep_o boolean, o_avg double"
+    )
+    j = by_keep.join(
+        F.broadcast(oracle_avg), by_keep["keep"] == oracle_avg["keep_o"]
+    )
+    band = F.lit(1e-6) * (F.lit(1.0) + F.abs(F.col("o_avg")))
+    return j.select(
+        F.col("keep").cast("int").alias("keep"),
+        "n",
+        "n_modified",
+        (F.abs(F.col("avg_perplexity") - F.col("o_avg")) <= band)
+        .cast("int")
+        .alias("ppl_match"),
+    )
+
+
+def _sql_pipeline_metrics() -> str:
+    o = _pipeline_oracle_pdf()
+    g = o.groupby("keep").agg(
+        n=("keep", "size"), n_modified=("was_modified", "sum")
+    )
+    rows = []
+    for keep, r in g.iterrows():
+        rows.append(
+            f"SELECT {int(keep)} AS keep, CAST({int(r['n'])} AS BIGINT) AS n, "
+            f"CAST({int(r['n_modified'])} AS BIGINT) AS n_modified, 1 AS ppl_match"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def q_estimator_quality(spark, sf_dir):
+    """Learned quality estimator (README.md conceptual layer: a quality
+    estimation task LEARNS an estimator from labeled data): fit pyspark.ml
+    LogisticRegression on the pipeline's cheap feature columns to recover
+    the rule-based keep/drop label, then self-validate — train F1 ≥ 0.95,
+    held-out-corpus F1 ≥ 0.90 (gates with margin: measured ~1.00/0.99;
+    LBFGS treeAggregate order can drift floats, never across these gates),
+    coefficient-vector arity, and intercept finiteness. The oracle pins the
+    invariants; the tighter curve lives in tests/test_estimator.py."""
+    from data_quality_spark.corpus import generate_files_df
+    from data_quality_spark.operators.estimator import (
+        FEATURE_COLS,
+        evaluate_estimator,
+        fit_quality_estimator,
+    )
+    from data_quality_spark.plans.pipeline import score_files
+
+    train = score_files(generate_files_df(spark, n_files=600, seed=303)).cache()
+    try:
+        model = fit_quality_estimator(train)
+        m_train = evaluate_estimator(model, train)
+    finally:
+        train.unpersist()
+    held = score_files(generate_files_df(spark, n_files=300, seed=304))
+    m_test = evaluate_estimator(model, held)
+    coef = model.coefficients
+    row = (
+        int(m_train["n"]),
+        int(m_test["n"]),
+        int(m_train["f1"] >= 0.95),
+        int(m_test["f1"] >= 0.90),
+        int(len(coef)),
+        int(all(abs(c) < float("inf") for c in coef)
+            and abs(model.intercept) < float("inf")),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_train bigint, n_test bigint, train_f1_ge_95 int, "
+        "test_f1_ge_90 int, n_coefficients int, finite_params int",
+    )
+
+
+SQL_ESTIMATOR_QUALITY = """
+    SELECT CAST(600 AS BIGINT) AS n_train, CAST(300 AS BIGINT) AS n_test,
+           1 AS train_f1_ge_95, 1 AS test_f1_ge_90,
+           8 AS n_coefficients, 1 AS finite_params
+"""
+
+
+def q_sessionized_counts(spark, sf_dir):
+    """Batch/stream parity: the SAME sessionized_counts plan
+    (streaming/sessions.py, native session_window) run batch-mode over the
+    events table — proving to the driver what the streaming tests assert
+    cross-micro-batch: gap sessions with session_end = last_ts + gap.
+    Oracle re-derives sessions with the lag/cumsum idiom (a new session
+    starts when the gap is ≥ 30 min, matching session_window's half-open
+    [start, last+gap) interval). Decimal sums: exact re-aggregation."""
+    from data_quality_spark.streaming.sessions import sessionized_counts
+
+    _utc(spark)
+    e = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    sw = sessionized_counts(
+        e, key_col="user_id", ts_col="ts", gap="30 minutes", value_col="value"
+    )
+    return sw.select(
+        "user_id",
+        F.round(
+            F.col("session_start").cast("timestamp").cast("double"), 6
+        ).alias("start_epoch"),
+        F.round(
+            F.col("session_end").cast("timestamp").cast("double"), 6
+        ).alias("end_epoch"),
+        "n_events",
+        F.round(F.col("sum_v").cast("double"), 6).alias("sum_v"),
+    )
+
+
+SQL_SESSIONIZED_COUNTS = """
+    WITH g AS (
+      SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS vd,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, vd,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           round(epoch(min(ts)), 6) AS start_epoch,
+           round(epoch(max(ts)) + 1800, 6) AS end_epoch,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(vd) AS DOUBLE), 6) AS sum_v
+    FROM s GROUP BY user_id, session_id
+"""
 
 
 def q_symbolic_sequences(spark, sf_dir):
@@ -1730,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": q_embed_ivf_topk,
         "pipeline_keep_drop": q_pipeline_keep_drop,
         "pipeline_metrics": q_pipeline_metrics,
+        "estimator_quality": q_estimator_quality,
+        "sessionized_counts": q_sessionized_counts,
         "symbolic_sequences": q_symbolic_sequences,
     }
 
@@ -1794,6 +2009,12 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_approx": SQL_QUANTILES_APPROX,
         "pivot_event_types": SQL_PIVOT,
         "symbolic_sequences": SQL_SYMBOLIC_SEQUENCES,
-        # pipeline_keep_drop / pipeline_metrics / embed_ivf_topk:
-        # model-UDF / KMeans based → rows-only checks.
+        # self-validating rows (model/KMeans/LBFGS internals are not
+        # SQL-expressible; the queries verify their own invariants and the
+        # oracle pins them — constants below are computed from the
+        # independent pandas oracle, not hand-typed):
+        "pipeline_keep_drop": _sql_pipeline_keep_drop(),
+        "pipeline_metrics": _sql_pipeline_metrics(),
+        "estimator_quality": SQL_ESTIMATOR_QUALITY,
+        "sessionized_counts": SQL_SESSIONIZED_COUNTS,
     }

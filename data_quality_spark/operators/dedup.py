@@ -238,8 +238,18 @@ def jaccard_prefix_candidates(
     compares the same hash sets, so hashing is part of the operator's
     semantics and the oracle replicates it exactly.
     Returns (a, b) with a < b, distinct."""
-    grp = ["g"] if group_col else []
     sh = hashed_shingle_sets(df, key_col, text_col, group_col, shingle_k)
+    return _prefix_candidates_from(sh, bool(group_col), threshold)
+
+
+def _prefix_candidates_from(
+    sh: DataFrame, has_group: bool, threshold: float
+) -> DataFrame:
+    """Candidate pass over a PRECOMPUTED (k, [g], sh, sz) shingle frame —
+    lets ngram_jaccard_pairs materialize the shingle sets once and share
+    them with the verify pass (the md5 word-hash fold is the expensive
+    subtree; without sharing it is evaluated once per consuming exchange)."""
+    grp = ["g"] if has_group else []
     # explode_OUTER, deliberately: plain explode triggers Catalyst's
     # InferFiltersFromGenerate, which pushes a size(sh)>0 filter below the
     # projection with the whole shingle expression INLINED — and since
@@ -264,7 +274,7 @@ def jaccard_prefix_candidates(
     prefix = ranked.filter(F.col("rn") <= prefix_len).select("k", *grp, "w")
     l, r = prefix.alias("l"), prefix.alias("r")
     on = [F.col("l.w") == F.col("r.w"), F.col("l.k") < F.col("r.k")]
-    if group_col:
+    if has_group:
         on.append(F.col("l.g") == F.col("r.g"))
     return (
         l.join(r, on)
@@ -281,6 +291,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     method: str = "prefix",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard between documents (threshold > 0).
 
@@ -303,10 +314,16 @@ def ngram_jaccard_pairs(
     groups. Both methods share the hashed-shingle representation, so they
     are result-identical by construction."""
     if method == "prefix":
-        cand = jaccard_prefix_candidates(
-            df, key_col, text_col, group_col, shingle_k, threshold
-        )
-        arrays = hashed_shingle_sets(df, key_col, text_col, None, shingle_k)
+        sh = hashed_shingle_sets(df, key_col, text_col, group_col, shingle_k)
+        if materialize:
+            # the md5 word-hash fold feeds THREE exchanges (df-rank explode,
+            # a-side, b-side); materialize it once so it is computed once —
+            # localCheckpoint also truncates lineage, same discipline as
+            # connected_components. Opt out via materialize=False for tiny
+            # inputs where the extra job costs more than the recompute.
+            sh = sh.localCheckpoint(eager=True)
+        cand = _prefix_candidates_from(sh, bool(group_col), threshold)
+        arrays = sh.drop("g") if group_col else sh
         a_side = arrays.select(
             F.col("k").alias("a"), F.col("sh").alias("sha"), F.col("sz").alias("sza")
         )

@@ -84,10 +84,13 @@ def run(cpus: int, expand: int, sf_dir: str, repeat: int) -> dict:
     cmd = [sys.executable, "-c", code, str(cpus), str(expand), sf_dir, str(repeat)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    la = os.getloadavg()[0]
     out = subprocess.run(
         cmd, capture_output=True, text=True, check=True, cwd=REPO
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    res["load_avg_start"] = round(la, 2)
+    return res
 
 
 def main():
@@ -98,7 +101,19 @@ def main():
     ap.add_argument("--rounds", type=int, default=2,
                     help="alternating N/4N rounds; per-level best is kept")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--force", action="store_true",
+                    help="skip the quiet-host guard (run is still logged "
+                         "with its load_avg for mechanical annotation)")
     args = ap.parse_args()
+
+    # quiet-host guard (BASELINE.md acceptance rule): external load directly
+    # pollutes the pinned-core comparison; refuse to start a timed run on a
+    # busy host unless forced. load_avg is recorded per level-run either way.
+    la1 = os.getloadavg()[0]
+    if la1 > 2.0 and not args.force:
+        print(json.dumps({"refused": "load_avg_1min", "value": round(la1, 2),
+                          "hint": "host busy; retry later or --force"}))
+        sys.exit(3)
 
     # alternate N / 4N across rounds and keep per-level bests: the sandbox
     # host carries bursty unrelated load, and alternating decorrelates it
@@ -124,6 +139,7 @@ def main():
             "n_cores": args.n_cores, "expand": args.expand,
             "repeat": args.repeat, "rounds": args.rounds,
             "n": n, "n4": n4, "eff": round(eff, 3),
+            "load_avg_start": round(la1, 2),
         }) + "\n")
     effs = sorted(
         json.loads(line)["eff"] for line in open(log_path) if line.strip()

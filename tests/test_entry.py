@@ -82,12 +82,10 @@ def test_entry_smoke(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
-ROWS_ONLY_DOCUMENTED = {
-    # model-UDF based — no SQL-expressible oracle by design
-    # (embed_ivf_topk graduated to a self-validating oracle row in round 2)
-    "pipeline_keep_drop",
-    "pipeline_metrics",
-}
+# round 3: pipeline_keep_drop / pipeline_metrics graduated to
+# self-validating oracles (in-query comparison against the independent
+# pandas oracle labels; SQL pins the invariants) — every query is checked.
+ROWS_ONLY_DOCUMENTED: set[str] = set()
 
 
 def test_every_query_is_oracle_checked_or_documented():
