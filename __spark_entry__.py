@@ -1703,6 +1703,113 @@ def _sql_pipeline_metrics() -> str:
     return " UNION ALL ".join(rows)
 
 
+DECON_NGRAM = 8
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training-data hygiene): flag every corpus
+    doc sharing ≥1 hashed 8-word shingle with the benchmark split
+    (doc_id % 97 == 0 plays the eval set). Scale shape: the benchmark gram
+    set is broadcast; the corpus side is a narrow explode + broadcast
+    semi-join + distinct-on-key (operators/corpus_clean.py)."""
+    from data_quality_spark.operators.corpus_clean import contamination_flags
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return contamination_flags(corpus, bench, "doc_id", "text", ngram=DECON_NGRAM)
+
+
+def _sql_decontaminate(k: int = DECON_NGRAM) -> str:
+    # identical rolling word-hash combiner as _sql_dedup_jaccard, k=8
+    combine = "wh[i]"
+    for j in range(1, k):
+        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
+    return f"""
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    h AS (
+      SELECT doc_id, list_transform(ws, x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
+      FROM w
+    ),
+    s AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(wh) - {k} + 1, 1) + 1),
+               i -> {combine})) AS sh
+      FROM h
+    ),
+    b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 0),
+    c AS (SELECT doc_id, sh FROM s WHERE doc_id % 10 <> 0),
+    cw AS (SELECT doc_id, unnest(sh) AS g FROM c),
+    hits AS (SELECT DISTINCT cw.doc_id FROM cw JOIN b USING (g))
+    SELECT c.doc_id, CAST(hits.doc_id IS NOT NULL AS INTEGER) AS contaminated
+    FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
+    """
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """CCNet-style boilerplate-line stripping: a line present in ≥2 distinct
+    docs of the same source is removed; per-doc counts + cleaned-text sha.
+    The synthetic documents are single-line word soup, so 8-word lines are
+    synthesized deterministically first (identically in the oracle) —
+    planted near/exact duplicates then share lines. The rebuild filters
+    each doc's own line array in place: order-preserving, no per-line
+    corpus shuffle (operators/corpus_clean.py)."""
+    from data_quality_spark.operators.corpus_clean import strip_boilerplate_lines
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = d.withColumn("_ws", F.split("text", " "))
+    n_chunks = F.greatest(F.ceil(F.size("_ws") / F.lit(8.0)), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(F.col("_ws"), i * 8 + 1, 8), " "),
+    )
+    docs2 = d.select(
+        "doc_id", "source", F.array_join(lines, "\n").alias("text")
+    )
+    out = strip_boilerplate_lines(
+        docs2, "doc_id", "text", "source", min_docs=2, delim="\n"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_boiler",
+        F.sha2("cleaned", 256).alias("cleaned_sha"),
+    )
+
+
+SQL_BOILERPLATE_LINES = """
+    WITH w AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
+    d2 AS (
+      SELECT doc_id, source,
+             array_to_string(list_transform(
+               range(0, greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1)),
+               i -> array_to_string(ws[i*8+1 : i*8+8], ' ')), chr(10)) AS text
+      FROM w
+    ),
+    l AS (SELECT doc_id, source, str_split(text, chr(10)) AS ls FROM d2),
+    ld AS (SELECT DISTINCT source, doc_id, unnest(ls) AS line FROM l),
+    freq AS (SELECT source, line, count(*) AS df FROM ld GROUP BY 1, 2),
+    bl AS (SELECT source, list(line) AS bl FROM freq WHERE df >= 2 GROUP BY source),
+    j AS (
+      SELECT l.doc_id, l.source, l.ls,
+             coalesce(bl.bl, []::VARCHAR[]) AS bl
+      FROM l LEFT JOIN bl USING (source)
+    ),
+    k AS (
+      SELECT doc_id, source, ls,
+             list_filter(ls, x -> NOT list_contains(bl, x)) AS kept
+      FROM j
+    )
+    SELECT doc_id, source,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ls) - len(kept) AS BIGINT) AS n_boiler,
+           sha256(array_to_string(kept, chr(10))) AS cleaned_sha
+    FROM k
+"""
+
+
 def q_estimator_quality(spark, sf_dir):
     """Learned quality estimator (README.md conceptual layer: a quality
     estimation task LEARNS an estimator from labeled data): fit pyspark.ml
@@ -1945,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_metrics": q_pipeline_metrics,
         "estimator_quality": q_estimator_quality,
         "sessionized_counts": q_sessionized_counts,
+        "decontaminate": q_decontaminate,
+        "boilerplate_lines": q_boilerplate_lines,
         "symbolic_sequences": q_symbolic_sequences,
     }
 
@@ -2017,4 +2126,6 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_metrics": _sql_pipeline_metrics(),
         "estimator_quality": SQL_ESTIMATOR_QUALITY,
         "sessionized_counts": SQL_SESSIONIZED_COUNTS,
+        "decontaminate": _sql_decontaminate(),
+        "boilerplate_lines": SQL_BOILERPLATE_LINES,
     }

@@ -95,8 +95,11 @@ BENCH_QUERIES = [
     "embed_topk",
     "embed_lsh_buckets",
     "embed_topk_batch",
+    "decontaminate",
+    "boilerplate_lines",
     "events_hourly",
     "events_sessions",
+    "sessionized_counts",
     "events_count_windows",
     "events_running",
     "topk_per_group",

@@ -1,0 +1,109 @@
+"""Corpus-cleaning operators: benchmark decontamination and boilerplate-line
+stripping (operators/corpus_clean.py) — planted-data semantics gates plus
+plan-shape checks (broadcast on the bench side, no per-line corpus sort)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators.corpus_clean import (
+    contamination_flags,
+    strip_boilerplate_lines,
+)
+
+
+def _docs(spark, rows, schema="doc_id bigint, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_contamination_flags_exact_overlap(spark):
+    shared = "one two three four five six seven eight"  # exactly one 8-gram
+    corpus = _docs(
+        spark,
+        [
+            (1, f"prefix words here {shared} suffix tail words"),
+            (2, "totally different content with no overlap at all present here"),
+            (3, shared),  # doc == the 8-gram itself
+        ],
+    )
+    bench = _docs(spark, [(100, f"benchmark intro {shared} benchmark outro")])
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(corpus, bench, "doc_id", "text").collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 1}
+
+
+def test_contamination_needs_full_ngram_not_fewer_words(spark):
+    # 7 shared consecutive words < ngram=8 → clean
+    seven = "one two three four five six seven"
+    corpus = _docs(spark, [(1, f"{seven} UNIQUEA filler filler2 filler3")])
+    bench = _docs(spark, [(100, f"{seven} UNIQUEB other words here too")])
+    got = contamination_flags(corpus, bench, "doc_id", "text").collect()
+    assert [(r["doc_id"], r["contaminated"]) for r in got] == [(1, 0)]
+
+
+def test_contamination_short_docs_whole_doc_gram(spark):
+    # docs shorter than the ngram fold to one clamped shingle: identical
+    # short docs match, different ones don't
+    corpus = _docs(spark, [(1, "tiny doc"), (2, "other doc")])
+    bench = _docs(spark, [(100, "tiny doc")])
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(corpus, bench, "doc_id", "text").collect()
+    }
+    assert got == {1: 1, 2: 0}
+
+
+HEADER = "# Licensed under the Apache License"
+
+
+def test_strip_boilerplate_lines_semantics(spark):
+    rows = [
+        (1, "g1", f"{HEADER}\nunique line a\n{HEADER}\nunique line b"),
+        (2, "g1", f"{HEADER}\nunique line c"),
+        (3, "g1", HEADER),  # all-boilerplate doc → cleaned == ""
+        (4, "g2", f"{HEADER}\nunique line d"),  # g2: header only once → kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(
+            df, "doc_id", "text", "source", min_docs=2
+        ).collect()
+    }
+    # duplicate occurrences inside ONE doc count once for df; both removed
+    assert out[1]["n_lines"] == 4 and out[1]["n_boiler"] == 2
+    assert out[1]["cleaned"] == "unique line a\nunique line b"  # order kept
+    assert out[2]["cleaned"] == "unique line c"
+    assert out[3]["cleaned"] == "" and out[3]["n_boiler"] == 1
+    # group isolation: g2's single header is NOT boilerplate there
+    assert out[4]["n_boiler"] == 0 and HEADER in out[4]["cleaned"]
+
+
+def test_strip_boilerplate_threshold(spark):
+    rows = [
+        (1, "g", "shared\nx"),
+        (2, "g", "shared\ny"),
+        (3, "g", "shared\nz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    hi = strip_boilerplate_lines(df, "doc_id", "text", "source", min_docs=4)
+    assert all(r["n_boiler"] == 0 for r in hi.collect())
+    lo = strip_boilerplate_lines(df, "doc_id", "text", "source", min_docs=3)
+    assert all(r["n_boiler"] == 1 for r in lo.collect())
+
+
+def test_contamination_plan_broadcasts_bench(spark):
+    corpus = _docs(spark, [(i, f"doc number {i} words " * 3) for i in range(20)])
+    bench = _docs(spark, [(100, "doc number 1 words " * 3)])
+    plan = (
+        contamination_flags(corpus, bench, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only join is the broadcast gram join; the doc flag is a
+    # map-side-combinable max — no sort-merge join, no sort anywhere
+    assert "SortMergeJoin" not in plan and "Sort " not in plan
