@@ -104,9 +104,10 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndar
     return out
 
 
-def _decode_png(b: bytes) -> np.ndarray:
-    """Full PNG decode (8-bit, non-interlaced, gray/RGB/±alpha) → features
-    [width, height, bit_depth, color_type, n_pixels, mean, std, 1.0]."""
+def decode_png_pixels(b: bytes) -> tuple[np.ndarray, int]:
+    """Full PNG decode (8-bit, non-interlaced, gray/RGB/±alpha) →
+    ((h, w, channels) uint8 pixel array, color_type). Lossless inverse of
+    encode_png — the plot-sink round-trip tests rely on exact equality."""
     if b[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, idat = 8, b""
@@ -130,9 +131,17 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
     channels = _PNG_CHANNELS[color_type]
     px = _png_unfilter(zlib.decompress(idat), width, height, channels)
+    return px.reshape(height, width, channels), color_type
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """PNG → features [width, height, bit_depth, color_type, n_pixels,
+    mean, std, 1.0] (the multimodal feature row)."""
+    px, color_type = decode_png_pixels(b)
+    height, width, _channels = px.shape
     flat = px.astype(np.float64)
     return np.array(
-        [width, height, bit_depth, color_type,
+        [width, height, 8, color_type,
          width * height, flat.mean(), flat.std(), 1.0],
         dtype=np.float32,
     )

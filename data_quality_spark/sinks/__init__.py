@@ -1,0 +1,1 @@
+# sink layer: plot/image emitters (sources/io.py holds the table sinks)

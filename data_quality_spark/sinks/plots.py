@@ -1,0 +1,176 @@
+"""PNG plot sinks — SURVEY §2.1 S6 (the last previously-out-of-scope row).
+
+The reference saves spectrogram/PSD images per recording and histogram-ish
+summary plots (matplotlib/librosa `savefig`: /root/reference/timeseries/
+eeg_features.py:35-41,:62, eeg_datasets.py:137-150,:216-227). This
+container has no plotting library, so charts are rasterized with plain
+numpy and encoded by the repo's own PNG encoder
+(multimodal/binary.encode_png — stdlib zlib; the matching decoder gives
+lossless round-trip tests).
+
+Two sink shapes, chosen by where the data lives:
+
+- **aggregate charts** (histogram / line): the chart DATA is reduced in
+  Spark first — a plot has a few hundred marks by definition, so the only
+  scale-sound design is agg-then-render; the driver rasterizes bins, never
+  rows.
+- **per-row image datasets** (spectrograms): encoded EXECUTOR-side via
+  ``mapInPandas`` into (name, png bytes) rows and written by
+  ``foreachPartition`` — 10^6 spectrogram files never pass through the
+  driver. (PNG encoding is inherently per-row work; it rides the Arrow
+  batch path and is not on the quality-filter hot path.)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..multimodal.binary import encode_png
+
+__all__ = [
+    "render_heatmap",
+    "render_bars",
+    "render_line",
+    "save_png",
+    "histogram_png",
+    "spectrogram_png_rows",
+    "write_png_files",
+]
+
+
+# ---------------------------------------------------------------------------
+# numpy rasterizers (grayscale, 0 = ink, 255 = background)
+
+
+def render_heatmap(mat: np.ndarray, scale: int = 4) -> np.ndarray:
+    """(r, c) float matrix → (r·scale, c·scale) uint8 image, min→0 max→255
+    (spectrogram convention: brighter = more energy)."""
+    m = np.nan_to_num(np.asarray(mat, dtype=np.float64))
+    lo, hi = float(m.min()), float(m.max())
+    norm = (m - lo) / (hi - lo) if hi > lo else np.zeros_like(m)
+    img = (norm * 255.0).round().astype(np.uint8)
+    return np.kron(img, np.ones((scale, scale), dtype=np.uint8))
+
+
+def render_bars(
+    counts: np.ndarray, height: int = 128, bar_width: int = 6
+) -> np.ndarray:
+    """Bar chart: one bar per count, heights proportional to counts."""
+    c = np.asarray(counts, dtype=np.float64)
+    canvas = np.full((height, max(len(c), 1) * bar_width), 255, dtype=np.uint8)
+    top = float(c.max()) if len(c) and c.max() > 0 else 1.0
+    for i, v in enumerate(c):
+        h = int(round(v / top * (height - 1)))
+        if h > 0:
+            canvas[height - h :, i * bar_width : (i + 1) * bar_width] = 0
+    return canvas
+
+
+def render_line(y: np.ndarray, width: int = 256, height: int = 128) -> np.ndarray:
+    """Line chart (PSD-style): series resampled to ``width`` columns, each
+    consecutive pair joined by a vertical segment for continuity."""
+    v = np.nan_to_num(np.asarray(y, dtype=np.float64))
+    if v.size == 0:
+        return np.full((height, width), 255, dtype=np.uint8)
+    xs = np.linspace(0, max(v.size - 1, 1), width)
+    resampled = np.interp(xs, np.arange(v.size), v)
+    lo, hi = float(resampled.min()), float(resampled.max())
+    norm = (resampled - lo) / (hi - lo) if hi > lo else np.zeros_like(resampled)
+    rows = ((1.0 - norm) * (height - 1)).round().astype(np.int64)
+    canvas = np.full((height, width), 255, dtype=np.uint8)
+    for x in range(width):
+        r0 = rows[x - 1] if x else rows[x]
+        a, b = (r0, rows[x]) if r0 <= rows[x] else (rows[x], r0)
+        canvas[a : b + 1, x] = 0
+    return canvas
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(encode_png(img))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side sinks
+
+
+def histogram_png(
+    df: DataFrame,
+    value_col: str,
+    path: str,
+    bins: int = 32,
+    lo: float | None = None,
+    hi: float | None = None,
+    height: int = 128,
+) -> np.ndarray:
+    """Aggregate histogram sink: bucket counts computed IN SPARK (one
+    map-side-combined aggregate over ``bins`` keys), the driver receives
+    exactly ``bins`` longs and rasterizes. Returns the counts (for tests /
+    chaining). ``lo``/``hi`` default to the column min/max (one extra tiny
+    agg job)."""
+    if lo is None or hi is None:
+        r = df.agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).collect()[0]
+        lo = float(r["lo"]) if lo is None else lo
+        hi = float(r["hi"]) if hi is None else hi
+    width = (hi - lo) or 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width) * bins).cast("int"),
+        ),
+    )
+    got = {
+        r["b"]: r["count"]
+        for r in df.select(bucket.alias("b")).groupBy("b").count().collect()
+    }
+    counts = np.array([got.get(i, 0) for i in range(bins)], dtype=np.int64)
+    save_png(path, render_bars(counts, height=height))
+    return counts
+
+
+_SAFE = re.compile(r"[^A-Za-z0-9._-]+")
+
+
+def spectrogram_png_rows(
+    df: DataFrame, name_col: str, mat_col: str, scale: int = 4
+) -> DataFrame:
+    """(name, png binary) rows — each row's array<array<float>> matrix
+    rendered as a heatmap PNG, executor-side over Arrow batches."""
+
+    def batches(it):
+        for pdf in it:
+            names, blobs = [], []
+            for name, mat in zip(pdf[name_col], pdf[mat_col]):
+                arr = np.asarray([np.asarray(r, dtype=np.float64) for r in mat])
+                blobs.append(encode_png(render_heatmap(arr, scale)))
+                names.append(_SAFE.sub("_", str(name)))
+            yield pd.DataFrame({"name": names, "png": blobs})
+
+    return df.select(name_col, mat_col).mapInPandas(
+        batches, schema="name string, png binary"
+    )
+
+
+def write_png_files(png_rows: DataFrame, out_dir: str) -> None:
+    """Write (name, png) rows as ``<out_dir>/<name>.png``, executor-side
+    (posix path; on an object store this becomes the fs client in the same
+    loop — the shape, one file per row written by the partition that holds
+    it, is the part that matters at scale)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows):
+        for r in rows:
+            with open(os.path.join(out_dir, r["name"] + ".png"), "wb") as f:
+                f.write(bytes(r["png"]))
+
+    png_rows.foreachPartition(write_partition)

@@ -1,0 +1,111 @@
+"""PNG plot sinks (SURVEY §2.1 S6): numpy rasterizers + Spark-side sinks,
+round-tripped through the repo's own PNG decoder for lossless verification
+(encoder exercises all 5 scanline filters; decoder unfilters them)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_quality_spark.multimodal.binary import decode_png_pixels
+from data_quality_spark.sinks.plots import (
+    histogram_png,
+    render_bars,
+    render_heatmap,
+    render_line,
+    save_png,
+    spectrogram_png_rows,
+    write_png_files,
+)
+
+
+def test_render_heatmap_extremes_and_scale():
+    m = np.array([[0.0, 1.0], [2.0, 4.0]])
+    img = render_heatmap(m, scale=3)
+    assert img.shape == (6, 6)
+    assert img[0, 0] == 0 and img[-1, -1] == 255  # min→0, max→255
+    flat = render_heatmap(np.ones((2, 2)), scale=1)
+    assert (flat == 0).all()  # constant matrix renders without div-zero
+
+
+def test_render_bars_heights_monotone():
+    img = render_bars(np.array([1, 4, 2, 0]), height=100, bar_width=2)
+    heights = [(img[:, i * 2] == 0).sum() for i in range(4)]
+    assert heights[1] == 99  # tallest bar spans height-1 rows
+    assert heights[0] < heights[2] < heights[1] and heights[3] == 0
+
+
+def test_render_line_continuous_column_ink():
+    img = render_line(np.sin(np.linspace(0, 6, 50)), width=64, height=32)
+    assert img.shape == (32, 64)
+    assert all((img[:, x] == 0).any() for x in range(64))  # ink every column
+
+
+def test_save_png_roundtrip(tmp_path):
+    img = render_heatmap(np.arange(12.0).reshape(3, 4), scale=2)
+    p = str(tmp_path / "hm.png")
+    save_png(p, img)
+    back, ctype = decode_png_pixels(open(p, "rb").read())
+    assert ctype == 0 and np.array_equal(back.squeeze(), img)  # lossless
+
+
+def test_histogram_png_spark_side_binning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 0.1, 0.2, 5, 5, 5, 9.9, 10.0]], "v double"
+    )
+    p = str(tmp_path / "hist.png")
+    counts = histogram_png(df, "v", p, bins=10, lo=0.0, hi=10.0)
+    assert counts.sum() == 8
+    assert counts[0] == 3 and counts[5] == 3 and counts[9] == 2  # hi lands in last bin
+    back, _ = decode_png_pixels(open(p, "rb").read())
+    assert back.shape[1] == 10 * 6  # one bar per bin
+
+
+def test_spectrogram_png_files_executor_side(spark, tmp_path):
+    rows = [
+        (f"epoch_{i}", [[float(i + r * c) for c in range(5)] for r in range(4)])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "name string, mat array<array<float>>")
+    out = str(tmp_path / "specs")
+    png_rows = spectrogram_png_rows(df.repartition(3), "name", "mat", scale=2)
+    write_png_files(png_rows, out)
+    import os
+
+    files = sorted(os.listdir(out))
+    assert files == [f"epoch_{i}.png" for i in range(6)]
+    img = decode_png_pixels(open(f"{out}/epoch_0.png", "rb").read())[0].squeeze()
+    assert img.shape == (8, 10)  # 4x5 matrix at scale 2
+    assert img.max() == 255 and img.min() == 0
+
+
+def test_spectrogram_sink_on_signals_pipeline(spark, tmp_path):
+    """End-to-end reference parity: the §3.3 spectrogram dataset rows feed
+    the S6 image sink (eeg_features.py:35-41 saves one image per epoch)."""
+    from data_quality_spark.functions.signals import spectrogram_dataset
+
+    n, t = 4, 96
+    rng = np.random.default_rng(3)
+    a7 = rng.standard_normal((n, t))
+    a8 = rng.standard_normal((n, t))
+    rows = [
+        ("f0", i, [float(x) for x in a7[i]], [float(x) for x in a8[i]], int(i % 2))
+        for i in range(n)
+    ]
+    signals = spark.createDataFrame(
+        rows,
+        "file string, epoch bigint, ch_af7 array<double>, "
+        "ch_af8 array<double>, label int",
+    )
+    ds = spectrogram_dataset(signals, fs=32.0, n_fft=32, hop=16)
+    name = F.concat_ws(
+        "_", "name", F.col("epoch").cast("string"), F.col("channel").cast("string")
+    )
+    png_rows = spectrogram_png_rows(
+        ds.select(name.alias("nm"), "spectrogram_db"), "nm", "spectrogram_db"
+    )
+    out = str(tmp_path / "eeg")
+    write_png_files(png_rows, out)
+    import os
+
+    assert len(os.listdir(out)) == n * 2  # epoch × channel, one image each
