@@ -1703,6 +1703,121 @@ def _sql_pipeline_metrics() -> str:
     return " UNION ALL ".join(rows)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Increment-vs-history dedup (the daily-batch pattern at 10^12 docs:
+    the corpus is never rescanned, only its digest/band index is joined —
+    operators/dedup.build_dedup_index + incremental_dedup). History =
+    doc_id % 5 != 0, increment = doc_id % 5 == 0; exact digests over the
+    60-char prefix (the dedup_exact normalization), minhash bands over the
+    full text."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 60).alias("key_text")
+    )
+    seen = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    exact_idx, band_idx = DD.build_dedup_index(
+        seen, "doc_id", "text", MINHASH_NUM, MINHASH_BANDS, MINHASH_K,
+        exact_col="key_text",
+    )
+    return DD.incremental_dedup(
+        new, exact_idx, band_idx, "doc_id", "text",
+        MINHASH_NUM, MINHASH_BANDS, MINHASH_K, exact_col="key_text",
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    k = MINHASH_K
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> "
+        f"((s * {2 * i + 1} + {7919 * (i + 1)}) % 2147483647))) AS s{i}"
+        for i in range(MINHASH_NUM)
+    )
+    rows_per_band = MINHASH_NUM // MINHASH_BANDS
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"l.s{b * rows_per_band + r} = r.s{b * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(MINHASH_BANDS)
+    )
+    combine = "wh[i]"
+    for j in range(1, k):
+        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, substring(text, 1, 60) AS key_text FROM documents
+    ), h AS (
+      SELECT doc_id, list_transform(str_split(text, ' '), x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
+      FROM base
+    ), shs AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(wh) - {k} + 1, 1) + 1),
+               i -> {combine})) AS sh
+      FROM h
+    ), sig AS (
+      SELECT doc_id, {sigs} FROM shs
+    ),
+    eidx AS (SELECT DISTINCT md5(key_text) AS digest FROM base WHERE doc_id % 5 <> 0),
+    newd AS (SELECT doc_id, md5(key_text) AS digest FROM base WHERE doc_id % 5 = 0),
+    near AS (
+      SELECT DISTINCT l.doc_id
+      FROM (SELECT * FROM sig WHERE doc_id % 5 = 0) l
+      JOIN (SELECT * FROM sig WHERE doc_id % 5 <> 0) r ON ({band_conds})
+    )
+    SELECT n.doc_id,
+           CAST(e.digest IS NOT NULL AS INTEGER) AS exact_dup,
+           CAST(near.doc_id IS NOT NULL AS INTEGER) AS near_candidate
+    FROM newd n
+    LEFT JOIN eidx e ON n.digest = e.digest
+    LEFT JOIN near ON n.doc_id = near.doc_id
+    """
+
+
+def q_transpose_metrics(spark, sf_dir):
+    """P3 transpose (SURVEY §2.2): native DataFrame.transpose over the
+    per-event-type metrics frame — metric rows become columns per type
+    (the reference transposes signal matrices in numpy; the tabular analog
+    is a first-class Spark 4 relational op). Decimal-exact avg so the
+    transposed doubles hash identically."""
+    e = _read(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("vd")
+    )
+    agg = e.groupBy("event_type").agg(
+        F.round(
+            (F.sum("vd").cast("double") / F.count("*")), 6
+        ).alias("avg_v"),
+        F.count("*").cast("double").alias("n"),
+    )
+    return agg.orderBy("event_type").transpose("event_type")
+
+
+def _sql_transpose_metrics() -> str:
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    avg_cols = ", ".join(
+        f"max(CASE WHEN event_type = '{t}' THEN avg_v END) AS \"{t}\""
+        for t in kinds
+    )
+    n_cols = ", ".join(
+        f"max(CASE WHEN event_type = '{t}' THEN n END) AS \"{t}\""
+        for t in kinds
+    )
+    return f"""
+    WITH a AS (
+      SELECT event_type,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS avg_v,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT 'avg_v' AS key, {avg_cols} FROM a
+    UNION ALL
+    SELECT 'n', {n_cols} FROM a
+    """
+
+
 DECON_NGRAM = 8
 
 
@@ -2054,6 +2169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_counts": q_sessionized_counts,
         "decontaminate": q_decontaminate,
         "boilerplate_lines": q_boilerplate_lines,
+        "dedup_incremental": q_dedup_incremental,
+        "transpose_metrics": q_transpose_metrics,
         "symbolic_sequences": q_symbolic_sequences,
     }
 
@@ -2128,4 +2245,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionized_counts": SQL_SESSIONIZED_COUNTS,
         "decontaminate": _sql_decontaminate(),
         "boilerplate_lines": SQL_BOILERPLATE_LINES,
+        "dedup_incremental": _sql_dedup_incremental(),
+        "transpose_metrics": _sql_transpose_metrics(),
     }

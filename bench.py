@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_incremental",
     "embed_topk",
     "embed_lsh_buckets",
     "embed_topk_batch",

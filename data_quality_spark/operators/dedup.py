@@ -48,6 +48,76 @@ def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     )
 
 
+def build_dedup_index(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    exact_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Historical dedup index for INCREMENTAL runs: (exact-digest frame,
+    LSH band-bucket frame). In production both persist as tables BUCKETED
+    by their join key (digest / (band_id, band_key)) and are appended per
+    increment, so the daily increment-vs-history join is co-located and the
+    10^12-doc corpus is never rescanned — only its index is touched.
+    ``exact_col`` must match the one passed to incremental_dedup."""
+    exact = df.select(F.md5(F.col(exact_col or text_col)).alias("digest")).distinct()
+    sig = minhash_signature(df, text_col, num_hashes, shingle_k)
+    bands = (
+        minhash_bands(sig, key_col, num_hashes, n_bands)
+        .select("band_id", "band_key")
+        .distinct()
+    )
+    return exact, bands
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    exact_index: DataFrame,
+    band_index: DataFrame,
+    key_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    exact_col: str | None = None,
+) -> DataFrame:
+    """Flag each NEW document against a historical index (build_dedup_index):
+    ``exact_dup`` = its digest already exists; ``near_candidate`` = it shares
+    ≥1 LSH band bucket with history (then verified downstream like any LSH
+    candidate). ``exact_col`` optionally digests a normalized column (e.g.
+    a content prefix) while minhash runs on the full ``text_col``.
+
+    Both probes are LEFT join + map-side-combinable max — no
+    distinct-then-rejoin. The index sides are pre-distinct; with bucketed
+    index tables the joins are shuffle-free on the big side."""
+    ex = (
+        new_docs.select(
+            F.col(key_col).alias("k"),
+            F.md5(F.col(exact_col or text_col)).alias("digest"),
+        )
+        .join(exact_index.withColumn("_e", F.lit(1)), "digest", "left")
+        .select("k", F.coalesce(F.col("_e"), F.lit(0)).alias("exact_dup"))
+    )
+    sig = minhash_signature(new_docs, text_col, num_hashes, shingle_k)
+    near = (
+        minhash_bands(sig, key_col, num_hashes, n_bands)
+        .withColumnRenamed(key_col, "k")
+        .join(
+            band_index.withColumn("_n", F.lit(1)),
+            ["band_id", "band_key"],
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.max(F.coalesce(F.col("_n"), F.lit(0))).alias("near_candidate"))
+    )
+    return ex.join(near, "k").select(
+        F.col("k").alias(key_col), "exact_dup", "near_candidate"
+    )
+
+
 def _shingles(text_col: str, k: int):
     """Word k-shingles as space-joined strings (distinct). Kept as the
     readable reference form; the operators all run on hashed_shingle_sets

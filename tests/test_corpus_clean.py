@@ -94,6 +94,38 @@ def test_strip_boilerplate_threshold(spark):
     assert all(r["n_boiler"] == 1 for r in lo.collect())
 
 
+def test_incremental_dedup_against_history_index(spark):
+    """Increment-vs-history dedup (operators/dedup.py): exact digest hit,
+    LSH band hit for a near-dup, and clean docs flagged clean — without the
+    history frame ever being re-joined as documents (index only)."""
+    from data_quality_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    seen = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated historical text about spark plans")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact duplicate of history
+            (11, base.replace("today", "tomorrow")),  # near-dup: 1 word off
+            (12, "fresh novel content with no relation to anything before"),
+        ],
+        "doc_id bigint, text string",
+    )
+    eidx, bidx = build_dedup_index(seen, "doc_id", "text")
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["near_candidate"])
+        for r in incremental_dedup(new, eidx, bidx, "doc_id", "text").collect()
+    }
+    assert got[10] == (1, 1)
+    assert got[11] == (0, 1)  # not byte-identical, but bands collide
+    assert got[12] == (0, 0)
+
+
 def test_contamination_plan_broadcasts_bench(spark):
     corpus = _docs(spark, [(i, f"doc number {i} words " * 3) for i in range(20)])
     bench = _docs(spark, [(100, "doc number 1 words " * 3)])
