@@ -1818,6 +1818,54 @@ def _sql_transpose_metrics() -> str:
     """
 
 
+SWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """Threshold calibration sweep (the what-if analysis behind picking a
+    quality cutoff): per (lang, threshold) — doc count, pass count, pass
+    rate. The quality score is computed ONCE (materialized column), then a
+    broadcast cross join against the 5-row threshold grid fans out AFTER
+    the expensive expression — never a generator over it (the
+    InferFiltersFromGenerate trap)."""
+    scored = q_doc_quality(spark, sf_dir).select("doc_id", "qscore")
+    lang = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    grid = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "thr double"
+    )
+    j = scored.join(lang, "doc_id").crossJoin(F.broadcast(grid))
+    return (
+        j.groupBy("lang", "thr")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("qscore") >= F.col("thr")).cast("long")).alias("n_pass"),
+        )
+        .select(
+            "lang",
+            "thr",
+            "n",
+            "n_pass",
+            F.round(F.col("n_pass") / F.col("n"), 6).alias("pass_rate"),
+        )
+    )
+
+
+def _sql_threshold_sweep() -> str:
+    grid = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+    return f"""
+    WITH q AS ({SQL_DOC_QUALITY}),
+    g (thr) AS (VALUES {grid})
+    SELECT d.lang, g.thr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN q.qscore >= g.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           round(sum(CASE WHEN q.qscore >= g.thr THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+    FROM q JOIN documents d USING (doc_id) CROSS JOIN g
+    GROUP BY d.lang, g.thr
+    """
+
+
 DECON_NGRAM = 8
 
 
@@ -2171,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "dedup_incremental": q_dedup_incremental,
         "transpose_metrics": q_transpose_metrics,
+        "threshold_sweep": q_threshold_sweep,
         "symbolic_sequences": q_symbolic_sequences,
     }
 
@@ -2247,4 +2296,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": SQL_BOILERPLATE_LINES,
         "dedup_incremental": _sql_dedup_incremental(),
         "transpose_metrics": _sql_transpose_metrics(),
+        "threshold_sweep": _sql_threshold_sweep(),
     }

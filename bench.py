@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "agreement_buckets",
     "doc_quality",
+    "threshold_sweep",
     "doc_fingerprint",
     "doc_entropy",
     "doc_tokens",
