@@ -73,6 +73,26 @@ def test_agreement_score_is_codegen(spark):
     assert "EvalPython" not in plan
 
 
+def test_r3_corpus_query_scans_prune(spark):
+    """The round-3 corpus queries must not drag unused fat columns through
+    the parquet scan (at 100 TB the documents table's text column dwarfs
+    everything — but n_chars/lang/source must not ride along unasked)."""
+    banned = {
+        "decontaminate": ["n_chars", "source", "lang"],
+        "boilerplate_lines": ["n_chars", "lang"],
+        "dedup_incremental": ["n_chars", "source", "lang"],
+        "threshold_sweep": ["n_chars", "source"],
+    }
+    qs = E.queries()
+    for name, cols in banned.items():
+        plan = _plan(qs[name](spark, SF))
+        scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+        assert scans, name
+        for scan in scans:
+            for c in cols:
+                assert c not in scan, (name, c, scan)
+
+
 def test_split_filter_partition_prunes(spark, tmp_path):
     """Writing partitioned by split then reading one split must prune
     partitions at the source."""
