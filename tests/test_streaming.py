@@ -69,3 +69,44 @@ def test_windowed_metrics_stream(spark, tmp_path):
     out = spark.sql("select * from qm").toPandas()
     assert out.n.sum() == 40
     assert set(out.keep.unique()) <= {True, False}
+
+
+def test_idempotent_table_sink_replay_safe(spark, tmp_path):
+    """foreachBatch table sink (stream → io seam): a WAL-style replay of a
+    micro-batch with the same batch_id rewrites its own batch_id partition
+    instead of appending duplicates; a restart with new input appends a new
+    batch partition only."""
+    from data_quality_spark.sources import io
+
+    in_dir = str(tmp_path / "in3")
+    out_dir = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck3")
+    cols = ["repo", "path", "commit", "keep", "was_modified"]
+
+    pdf = generate_files_pdf(n_files=80, seed=33)
+    _write_batch(spark, pdf.iloc[:40], in_dir)
+    scored = QS.scored_stream(QS.read_files_stream(spark, in_dir)).select(*cols)
+    QS.start_idempotent_table_sink(scored, out_dir, ckpt).awaitTermination()
+    first = spark.read.parquet(out_dir).toPandas()
+    assert len(first) == 40 and set(first.batch_id) == {0}
+
+    # simulate the WAL replaying batch 0 after a crash: same rows, same id
+    from pyspark.sql import functions as F
+    from data_quality_spark.plans.pipeline import score_files
+
+    replay = (
+        score_files(spark.createDataFrame(pdf.iloc[:40], schema=FILES_SCHEMA))
+        .select(*cols)
+        .withColumn("batch_id", F.lit(0))
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    io.write_scored(replay, out_dir, partition_col="batch_id")
+    after_replay = spark.read.parquet(out_dir).toPandas()
+    assert len(after_replay) == 40  # no duplicates — partition replaced
+
+    # new arrivals → restart from checkpoint → one NEW batch partition
+    _write_batch(spark, pdf.iloc[40:], in_dir)
+    scored2 = QS.scored_stream(QS.read_files_stream(spark, in_dir)).select(*cols)
+    QS.start_idempotent_table_sink(scored2, out_dir, ckpt).awaitTermination()
+    final = spark.read.parquet(out_dir).toPandas()
+    assert len(final) == 80 and final.batch_id.nunique() == 2
