@@ -1818,6 +1818,55 @@ def _sql_transpose_metrics() -> str:
     """
 
 
+HH_SUPPORT = 0.02  # heavy-hitter support threshold (fraction of word stream)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Approximate heavy hitters (Karp-Papadimitriou-Shenker frequent-items
+    via DataFrame.freqItems) over the corpus word stream — the third sketch
+    family next to GK quantiles and HLL distinct; at 100 TB this is the
+    bounded-memory way to find dominant tokens/domains without a full
+    frequency sort. The sketch's CONTRACT (every item with true frequency
+    ≥ support·n is returned; false positives allowed) is verified in-query
+    by an exact second counting pass — the oracle pins the invariants, and
+    the exact true-frequent count comes from SQL so it is genuinely
+    cross-checked."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(F.explode_outer(F.split("text", " ")).alias("w"))
+    n = words.count()
+    found = set(words.freqItems(["w"], support=HH_SUPPORT).collect()[0][0])
+    exact = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= F.lit(float(HH_SUPPORT)) * F.lit(n))
+    )
+    truly_frequent = [r["w"] for r in exact.collect()]
+    missed = [w for w in truly_frequent if w not in found]
+    return spark.createDataFrame(
+        [(
+            len(truly_frequent),
+            int(not missed),
+            int(len(found) <= int(1.0 / HH_SUPPORT) + 1),
+        )],
+        "n_true_frequent bigint, all_frequent_found int, candidates_bounded int",
+    )
+
+
+def _sql_heavy_hitters() -> str:
+    return f"""
+    WITH w AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+    n AS (SELECT count(*) AS n FROM w),
+    f AS (
+      SELECT w.w, count(*) AS c FROM w GROUP BY w.w
+      HAVING count(*) >= {HH_SUPPORT} * (SELECT n FROM n)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true_frequent,
+           1 AS all_frequent_found,
+           1 AS candidates_bounded
+    FROM f
+    """
+
+
 SWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
 
 
@@ -2220,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "transpose_metrics": q_transpose_metrics,
         "threshold_sweep": q_threshold_sweep,
+        "heavy_hitters": q_heavy_hitters,
         "symbolic_sequences": q_symbolic_sequences,
     }
 
@@ -2297,4 +2347,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _sql_dedup_incremental(),
         "transpose_metrics": _sql_transpose_metrics(),
         "threshold_sweep": _sql_threshold_sweep(),
+        "heavy_hitters": _sql_heavy_hitters(),
     }

@@ -126,6 +126,77 @@ def test_incremental_dedup_against_history_index(spark):
     assert got[12] == (0, 0)
 
 
+def test_corpus_clean_matches_python_reference_randomized(spark):
+    """Seeded randomized gate: both operators must equal a brute-force pure
+    python implementation on a generated corpus (words drawn from a small
+    alphabet so n-gram and line collisions actually happen)."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(36):
+        n = int(rng.integers(3, 40))
+        docs.append((i, " ".join(vocab[int(j)] for j in rng.integers(0, 12, n))))
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    # --- contamination vs python sets (ngram=8 with the <8-word clamp fold)
+    def grams(t, k=8):
+        ws = t.split(" ")
+        # mirror the operator's clamped rolling combiner DOMAIN (which
+        # n-grams exist), not its hash values: doc shorter than k folds to
+        # one clamped window
+        if len(ws) <= k:
+            return {tuple(ws + [ws[-1]] * (k - len(ws)))}
+        return {tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    bench_ids = {i for i, _ in docs if i % 4 == 0}
+    bench_grams = set().union(*(grams(t) for i, t in docs if i in bench_ids))
+    expect = {
+        i: int(bool(grams(t) & bench_grams))
+        for i, t in docs
+        if i not in bench_ids
+    }
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(
+            sdf.filter(~F.col("doc_id").isin(list(bench_ids))),
+            sdf.filter(F.col("doc_id").isin(list(bench_ids))),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert got == expect
+
+    # --- boilerplate vs python counter (lines = 4-word chunks, one group)
+    def to_lines(t):
+        ws = t.split(" ")
+        return [" ".join(ws[i : i + 4]) for i in range(0, len(ws), 4)]
+
+    from collections import Counter
+
+    df_count = Counter()
+    for _i, t in docs:
+        df_count.update(set(to_lines(t)))
+    boiler = {ln for ln, c in df_count.items() if c >= 5}
+    lined = spark.createDataFrame(
+        [(i, "g", "\n".join(to_lines(t))) for i, t in docs],
+        "doc_id bigint, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(
+            lined, "doc_id", "text", "source", min_docs=5
+        ).collect()
+    }
+    for i, t in docs:
+        lines = to_lines(t)
+        kept = [ln for ln in lines if ln not in boiler]
+        assert out[i]["n_lines"] == len(lines)
+        assert out[i]["n_boiler"] == len(lines) - len(kept)
+        assert out[i]["cleaned"] == "\n".join(kept)
+
+
 def test_contamination_plan_broadcasts_bench(spark):
     corpus = _docs(spark, [(i, f"doc number {i} words " * 3) for i in range(20)])
     bench = _docs(spark, [(100, "doc number 1 words " * 3)])
