@@ -1,0 +1,62 @@
+"""spark-submit --py-files launch path (BASELINE.json north_rule: 'run via
+spark-submit --py-files on multi-executor clusters'). The script runs from
+OUTSIDE the repo with a cwd that has no data_quality_spark on sys.path, so
+the import genuinely resolves from the shipped zip — the exact cluster
+launch shape, minus the cluster."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(
+    shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
+)
+def test_spark_submit_py_files_launch(tmp_path):
+    zip_path = str(tmp_path / "dqs.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, dirs, files in os.walk(os.path.join(REPO, "data_quality_spark")):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    driver = str(tmp_path / "rp.py")
+    shutil.copy(os.path.join(REPO, "scripts", "run_pipeline.py"), driver)
+    out_dir = str(tmp_path / "out")
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    res = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]", "--py-files", zip_path,
+            driver, "--synthetic", "60", "--output", out_dir, "--n-parts", "2",
+        ],
+        capture_output=True, text=True, timeout=360, cwd=str(tmp_path), env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    result_lines = [
+        ln for ln in res.stdout.splitlines() if ln.startswith('{"run_id"')
+    ]
+    assert result_lines, res.stdout[-2000:]
+    summary = json.loads(result_lines[-1])
+    assert summary["remaining_parts"] == []
+    # the output table really landed, written by the zip-shipped package
+    import pandas as pd
+
+    data_dir = os.path.join(out_dir, "data")
+    parts = [d for d in os.listdir(data_dir) if d.startswith("part_id=")]
+    assert sorted(parts) == ["part_id=0", "part_id=1"]
+    n = sum(
+        len(pd.read_parquet(os.path.join(data_dir, p))) for p in parts
+    )
+    assert n == 60
