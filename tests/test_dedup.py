@@ -89,6 +89,20 @@ def test_jaccard_prefix_equals_cooccur(spark, docs):
             .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
         )
         assert list(map(tuple, a.values)) == list(map(tuple, b.values)), (k, t)
+    # regression: t=0.1 with sz=30-ish docs — naive ceil(0.1*30) rounds UP
+    # to 4 on doubles (3.0000000000000004), shortening the prefix and
+    # losing recall; the epsilon guard keeps prefix/cooccur identical here
+    a = (
+        D.ngram_jaccard_pairs(docs, "id", "text", shingle_k=1, threshold=0.1,
+                              method="prefix")
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    b = (
+        D.ngram_jaccard_pairs(docs, "id", "text", shingle_k=1, threshold=0.1,
+                              method="cooccur")
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert list(map(tuple, a.values)) == list(map(tuple, b.values))
 
 
 def test_jaccard_prefix_bounds_skewed_token(spark):

@@ -201,3 +201,31 @@ def test_stratified_sample_deterministic_and_rate_accurate(spark):
     # no shuffle: a narrow filter over the scan
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_stratified_sample_rate_cast_regression(spark):
+    """rate=0.29: 0.29*10000 = 2899.999... — a plain bigint cast truncated
+    the threshold to 2899 and silently dropped bucket 2899. The operator
+    must match an exact python md5 reference bucket-for-bucket."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.splits import stratified_sample
+
+    d = spark.range(3000).select(
+        F.col("id").alias("k"), F.lit("en").alias("lang")
+    )
+    got = sorted(
+        r["k"] for r in stratified_sample(d, "lang", "k", {"en": 0.29}).collect()
+    )
+    expect = sorted(
+        i for i in range(3000)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10_000 < 2900
+    )
+    assert got == expect
+    # and at least one row lands exactly in bucket 2899 so the test bites
+    assert any(
+        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10_000 == 2899
+        for i in expect
+    )
