@@ -38,9 +38,11 @@ def make_model_features_udf():
     @F.pandas_udf(_MODEL_FEATURES_TYPE)
     def model_features(content: pd.Series) -> pd.DataFrame:
         texts = content.fillna("").tolist()
-        labels, scores = langid.predict(texts)
-        ppl = bigram.perplexity(texts)
-        ent = M.byte_entropy(texts)
+        # one utf-8 encode pass per Arrow batch, shared by all three cores
+        enc = M._byte_concat(texts)
+        labels, scores = langid.predict(texts, encoded=enc)
+        ppl = bigram.perplexity(texts, encoded=enc)
+        ent = M.byte_entropy(texts, encoded=enc)
         return pd.DataFrame(
             {
                 "langid_label": labels,

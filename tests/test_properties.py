@@ -159,3 +159,26 @@ def test_heuristic_features_match_python_semantics(t):
     assert f.max_line_len == (max((len(x) for x in lines), default=0))
     assert 0.0 <= f.alnum_frac <= 1.0
     assert 0.0 <= f.dup_line_ratio < 1.0 or (f.dup_line_ratio == 0.0)
+
+
+def test_model_cores_shared_encoding_bit_identical():
+    """The fused UDF encodes each batch once and passes the buffer to all
+    three cores — results must be bit-identical to per-core encoding."""
+    from data_quality_spark.functions.models import (
+        BigramLM,
+        _byte_concat,
+        byte_entropy,
+        get_bigram_lm,
+        get_langid_model,
+    )
+
+    texts = ["def f(x):\n    return x", "", "π unicode ≠ ascii", "aaaa" * 50]
+    enc = _byte_concat(texts)
+    l1, s1 = get_langid_model().predict(texts)
+    l2, s2 = get_langid_model().predict(texts, encoded=enc)
+    assert list(l1) == list(l2) and (s1 == s2).all()
+    p1 = get_bigram_lm().perplexity(texts)
+    p2 = get_bigram_lm().perplexity(texts, encoded=enc)
+    assert (p1 == p2).all()
+    e1, e2 = byte_entropy(texts), byte_entropy(texts, encoded=enc)
+    assert (e1 == e2).all()
