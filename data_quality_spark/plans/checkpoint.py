@@ -21,7 +21,7 @@ from __future__ import annotations
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import rules as R
@@ -51,13 +51,48 @@ def read_progress(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.createDataFrame([], PROGRESS_SCHEMA)
 
 
-def pending_partitions(spark: SparkSession, out_dir: str, n_parts: int) -> list[int]:
+def pending_partitions(
+    spark: SparkSession,
+    out_dir: str,
+    n_parts: int,
+    require_current_versions: bool = False,
+) -> list[int]:
     """All part_ids minus done ones — expressed as the left-anti join the
-    resume step uses at scale (the done set is broadcast-sized)."""
+    resume step uses at scale (the done set is broadcast-sized).
+
+    ``require_current_versions=True`` is the RE-SCORING mode: a partition
+    only counts as done if its LATEST progress marker carries the current
+    ``rules_version`` AND ``scrub_version`` — so bumping a rule set turns
+    exactly the stale partitions back into pending work, and a subsequent
+    ``run_pipeline(..., require_current_versions=True)`` re-scores only
+    those (dynamic overwrite replaces their data; a fresh marker with the
+    new versions is appended — latest marker wins)."""
     all_parts = spark.range(n_parts).select(F.col("id").cast("int").alias("part_id"))
-    done = read_progress(spark, out_dir).select("part_id").distinct()
+    prog = read_progress(spark, out_dir)
+    if require_current_versions:
+        w = Window.partitionBy("part_id").orderBy(F.col("finished_at").desc())
+        latest = (
+            prog.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        prog = latest.filter(
+            (F.col("rules_version") == R.RULES_VERSION)
+            & (F.col("scrub_version") == SCRUB_RULES_VERSION)
+        )
+    done = prog.select("part_id").distinct()
     rows = all_parts.join(done, "part_id", "left_anti").collect()
     return sorted(r.part_id for r in rows)
+
+
+def stale_partitions(spark: SparkSession, out_dir: str, n_parts: int) -> list[int]:
+    """Partitions whose latest marker predates the current rule/scrub
+    versions (completed, but with stale semantics) — the re-scoring
+    work-list after a version bump."""
+    current = set(pending_partitions(spark, out_dir, n_parts))
+    versioned = set(
+        pending_partitions(spark, out_dir, n_parts, require_current_versions=True)
+    )
+    return sorted(versioned - current)
 
 
 def run_pipeline(
@@ -70,12 +105,15 @@ def run_pipeline(
     salt_threshold: int = 10_000,
     run_id: str | None = None,
     max_chunks: int | None = None,
+    require_current_versions: bool = False,
 ) -> dict:
     """Score + scrub ``files`` into ``out_dir`` resumably.
 
     ``max_chunks`` exists for the kill-and-resume test: process only that
     many chunks, then stop as a simulated failure.
-    """
+    ``require_current_versions=True`` additionally re-scores partitions
+    whose latest lineage marker carries stale rule/scrub versions (the
+    after-a-version-bump incremental refresh)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -85,7 +123,9 @@ def run_pipeline(
         salt_threshold=salt_threshold,
     )
 
-    pending = pending_partitions(spark, out_dir, n_parts)
+    pending = pending_partitions(
+        spark, out_dir, n_parts, require_current_versions=require_current_versions
+    )
     chunks = [pending[i : i + chunk_size] for i in range(0, len(pending), chunk_size)]
     processed = []
     for ci, chunk in enumerate(chunks):

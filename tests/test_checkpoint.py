@@ -99,3 +99,44 @@ def test_rerun_is_noop(spark, files_df, tmp_path):
     CP.run_pipeline(spark, files_df, out, n_parts=4, chunk_size=4)
     r = CP.run_pipeline(spark, files_df, out, n_parts=4, chunk_size=4)
     assert r["processed_parts"] == [] and r["remaining_parts"] == []
+
+
+def test_version_bump_rescoring(spark, files_df, tmp_path, monkeypatch):
+    """After a rule/scrub version bump, partitions completed under the old
+    version become stale: pending_partitions(require_current_versions=True)
+    returns exactly those, run_pipeline re-scores only them, and the new
+    lineage markers supersede (latest-wins) — while the plain resume path
+    still treats everything as done."""
+    out = str(tmp_path / "vbump")
+    CP.run_pipeline(spark, files_df, out, n_parts=4, chunk_size=4)
+    assert CP.pending_partitions(spark, out, 4) == []
+    assert CP.stale_partitions(spark, out, 4) == []
+
+    # simulate that the completed run used an older scrub version
+    monkeypatch.setattr(CP, "SCRUB_RULES_VERSION", "scrub-v99")
+    assert CP.pending_partitions(spark, out, 4) == []  # default: still done
+    assert CP.pending_partitions(spark, out, 4, require_current_versions=True) == [
+        0, 1, 2, 3,
+    ]
+    assert CP.stale_partitions(spark, out, 4) == [0, 1, 2, 3]
+
+    before = _canon(CP.read_output(spark, out).toPandas())
+    r = CP.run_pipeline(
+        spark, files_df, out, n_parts=4, chunk_size=2,
+        require_current_versions=True,
+    )
+    assert sorted(r["processed_parts"]) == [0, 1, 2, 3]
+    # content identical (the scrub CODE didn't change, only the label),
+    # and lineage now carries the new version for every partition
+    after = _canon(CP.read_output(spark, out).toPandas())
+    pd.testing.assert_frame_equal(before, after)
+    assert CP.stale_partitions(spark, out, 4) == []
+    prog = CP.read_progress(spark, out).toPandas()
+    latest = prog.sort_values("finished_at").groupby("part_id").last()
+    assert (latest.scrub_version == "scrub-v99").all()
+    # and a further version-aware re-run is a no-op
+    r2 = CP.run_pipeline(
+        spark, files_df, out, n_parts=4, chunk_size=2,
+        require_current_versions=True,
+    )
+    assert r2["processed_parts"] == []
