@@ -516,6 +516,50 @@ def _sql_dedup_simhash() -> str:
     """
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level dedup stats (operators/dedup.duplicate_spans): every
+    4-word window fingerprinted with the rolling word-hash combiner; per doc
+    the distinct-window count, windows shared with >=2 docs, and the ratio.
+    Linear in total words — no pair materialization (the Lee-et-al. exact
+    substring-dedup signal, relational form)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.duplicate_spans(d, "doc_id", "text", window_k=4, min_docs=2)
+
+
+def _sql_duplicate_spans(k: int = 4, min_docs: int = 2) -> str:
+    # identical rolling word-hash combiner as _sql_dedup_jaccard
+    combine = "wh[i]"
+    for j in range(1, k):
+        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(ws, x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
+      FROM w
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(wh) - {k} + 1, 1) + 1),
+               i -> {combine})) AS sh
+      FROM h
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS w FROM s
+    ), f AS (
+      SELECT w, count(*) AS ndocs FROM e GROUP BY w
+    )
+    SELECT e.doc_id,
+           count(*) AS n_windows,
+           count(*) FILTER (WHERE f.ndocs >= {min_docs}) AS n_dup,
+           round((count(*) FILTER (WHERE f.ndocs >= {min_docs}))::DOUBLE
+                 / count(*), 6) AS dup_frac
+    FROM e JOIN f USING (w)
+    GROUP BY e.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 
@@ -2227,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "duplicate_spans": q_duplicate_spans,
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_topk_batch": q_embed_topk_batch,
@@ -2299,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _sql_dedup_minhash(),
         "dedup_jaccard": _sql_dedup_jaccard(),
         "dedup_clusters": _sql_dedup_clusters(),
+        "duplicate_spans": _sql_duplicate_spans(),
         "dedup_simhash": _sql_dedup_simhash(),
         "embed_topk": SQL_EMBED_TOPK,
         "embed_lsh_buckets": _sql_embed_lsh_buckets(),

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_incremental",
+    "duplicate_spans",
     "embed_topk",
     "embed_lsh_buckets",
     "embed_topk_batch",

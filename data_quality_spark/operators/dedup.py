@@ -602,3 +602,60 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    window_k: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span detection: substring-level dedup stats per doc.
+
+    The training-corpus operator from "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022), re-expressed relationally:
+    instead of a suffix array over the concatenated corpus, fingerprint
+    every k-word window with the same rolling word-hash combiner the
+    shingle family uses (one md5 per word, no window strings), and call a
+    window "duplicated" when it occurs in >= min_docs DISTINCT documents.
+    Per document this returns the distinct-window count, the duplicated
+    subset, and their ratio — the per-row "how much of this file is copied
+    from elsewhere" signal a quality filter thresholds on.
+
+    100 TB shape: linear in total words end-to-end — explode window hashes
+    (map-side narrow), groupBy(hash) doc-frequency count (map-side partial
+    agg absorbs hot windows, so a boilerplate span in 10^8 files costs one
+    combiner row per task, not a skewed sort partition), left-join only the
+    FILTERED flag side (duplicated hashes, a small fraction of all windows,
+    broadcastable under AQE at moderate dup rates), final groupBy(doc).
+    No pairwise comparison anywhere: cost is independent of how duplicated
+    the corpus is — the property that makes this the scale path where the
+    pair-producing dedup ops (jaccard/minhash) are reserved for ranking.
+
+    (k, w) rows are distinct by construction (hashed_shingle_sets is
+    array_distinct per doc), so count(*) per doc = distinct windows.
+    """
+    sh = hashed_shingle_sets(df, key_col, text_col, None, window_k)
+    # explode_outer: the shingle arrays are never empty, and plain explode
+    # re-inlines the md5 fold below the projection (no-CSE trap; see
+    # _prefix_candidates_from)
+    wins = sh.select("k", F.explode_outer("sh").alias("w"))
+    dup_flags = (
+        wins.groupBy("w")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+    )
+    return (
+        wins.join(dup_flags, "w", "left")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("ndocs").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup") / F.col("n_windows"), 6),
+        )
+        .withColumnRenamed("k", key_col)
+    )

@@ -234,3 +234,58 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
         .toPandas()["cluster_id"]
     )
     assert (out == 0).all()
+
+
+def _py_window_hashes(text: str, k: int) -> set[int]:
+    """Independent python reference for the rolling k-window fingerprints."""
+    P = 2147483647
+    wh = [
+        int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % P
+        for w in text.split(" ")
+    ]
+    n = len(wh)
+    out = set()
+    for i in range(max(n - k + 1, 1)):
+        acc = wh[i]
+        for j in range(1, k):
+            acc = (acc * 65599 + wh[min(i + j, n - 1)]) % P
+        out.add(acc)
+    return out
+
+
+def test_duplicate_spans_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    k = 3
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup"], r["dup_frac"])
+        for r in D.duplicate_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            window_k=k,
+        ).collect()
+    }
+    sets = {i: _py_window_hashes(t, k) for i, t in rows}
+    from collections import Counter
+
+    freq = Counter(h for s in sets.values() for h in s)
+    for i, s in sets.items():
+        nd = sum(1 for h in s if freq[h] >= 2)
+        assert got[i] == (len(s), nd, round(nd / len(s), 6)), i
+
+
+def test_duplicate_spans_flags_the_copied_doc(spark, docs):
+    out = {
+        r["id"]: r["dup_frac"]
+        for r in D.duplicate_spans(docs, "id", "text", window_k=3).collect()
+    }
+    # exact pair 1/2: every window duplicated; unrelated 5: none
+    assert out[1] == 1.0 and out[2] == 1.0
+    assert out[5] == 0.0

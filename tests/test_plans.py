@@ -111,3 +111,15 @@ def test_split_filter_partition_prunes(spark, tmp_path):
     # and the filter really pruned: only 'test' directories scanned
     scan_line = plan[plan.index("FileScan") :].split("\n")[0]
     assert "split" in scan_line
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """duplicate_spans: no md5 inside a Filter (the InferFiltersFromGenerate
+    no-CSE trap — same gate as the jaccard candidate pass), and exactly one
+    md5-bearing projection subtree (the word-hash fold is evaluated once)."""
+    df = E.queries()["duplicate_spans"](spark, SF)
+    plan = _optimized(df)
+    for line in plan.split("\n"):
+        if "md5" in line:
+            assert "Filter" not in line, line
+    assert plan.count("md5") <= 2, plan  # one fold: md5 appears in one Project
