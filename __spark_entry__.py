@@ -1747,6 +1747,57 @@ def _sql_pipeline_metrics() -> str:
     return " UNION ALL ".join(rows)
 
 
+def q_code_markers(spark, sf_dir):
+    """Corpus-hygiene markers per language over the deterministic driver
+    corpus: license-header presence, generated/minified-code signature
+    (any line >= 200 chars), embedded long-hex-blob runs — one contains()/
+    RLIKE Column predicate each (functions/heuristics.py markers), booleans
+    aggregated map-side. Self-validating: the oracle pins per-lang counts
+    computed by an INDEPENDENT python re/str pass over the same
+    (n_files, seed) corpus."""
+    from data_quality_spark.corpus import generate_files_df
+    from data_quality_spark.functions import heuristics as H
+
+    files = generate_files_df(spark, n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    c = F.col("content")
+    return (
+        files.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(H.has_license_header(c).cast("long")).alias("n_license"),
+            F.sum(H.looks_minified(c).cast("long")).alias("n_minified"),
+            F.sum(H.has_hex_blob(c).cast("long")).alias("n_hex_blob"),
+        )
+    )
+
+
+def _sql_code_markers() -> str:
+    # independent python pass (re + str over the pandas corpus) — NOT the
+    # heuristics.py Column exprs — so the pinned constants cross-check the
+    # Spark predicates rather than restating them
+    import re
+
+    from data_quality_spark.corpus import generate_files_pdf
+
+    pdf = generate_files_pdf(n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    hex_re = re.compile(r"[0-9a-f]{40,}")
+    rows = []
+    for lang, g in pdf.groupby("lang"):
+        lic = int(g.content.str.contains(
+            "Licensed under the Apache License", regex=False).sum())
+        minif = int(g.content.map(
+            lambda s: max((len(l) for l in s.split("\n")), default=0) >= 200
+        ).sum())
+        hexb = int(g.content.map(lambda s: hex_re.search(s) is not None).sum())
+        rows.append(
+            f"SELECT '{lang}' AS lang, CAST({len(g)} AS BIGINT) AS n_files, "
+            f"CAST({lic} AS BIGINT) AS n_license, "
+            f"CAST({minif} AS BIGINT) AS n_minified, "
+            f"CAST({hexb} AS BIGINT) AS n_hex_blob"
+        )
+    return " UNION ALL ".join(rows)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Increment-vs-history dedup (the daily-batch pattern at 10^12 docs:
     the corpus is never rescanned, only its digest/band index is joined —
@@ -2272,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
+        "code_markers": q_code_markers,
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_topk_batch": q_embed_topk_batch,
@@ -2345,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _sql_dedup_jaccard(),
         "dedup_clusters": _sql_dedup_clusters(),
         "duplicate_spans": _sql_duplicate_spans(),
+        "code_markers": _sql_code_markers(),
         "dedup_simhash": _sql_dedup_simhash(),
         "embed_topk": SQL_EMBED_TOPK,
         "embed_lsh_buckets": _sql_embed_lsh_buckets(),

@@ -96,3 +96,30 @@ def with_heuristics(df, content_col: str = "content"):
             - F.size(F.array_distinct(ls)).cast("double") / n_ls.cast("double"),
         }
     ).drop("_lines")
+
+
+# --- corpus-hygiene markers (license / generated / embedded-blob) ----------
+# Classifier-free Column predicates a 100 TB sweep can afford on every row:
+# each is one contains() or one RLIKE with a character-class-only pattern
+# (identical semantics in Java and Python regex), fully codegen'd, and the
+# resulting booleans aggregate map-side.
+
+LICENSE_MARKER = "Licensed under the Apache License"
+MINIFIED_LINE_LEN = 200
+HEX_BLOB_RE = "[0-9a-f]{40,}"  # ASCII class + bounded repeat: dialect-safe
+
+
+def has_license_header(content: Column) -> Column:
+    """Boilerplate license text present (dedup/licensing signal)."""
+    return content.contains(LICENSE_MARKER)
+
+
+def looks_minified(content: Column) -> Column:
+    """Generated/minified-code signature: any line >= 200 chars — the
+    max_line_len rule reused as a standalone marker."""
+    return max_line_len(content) >= F.lit(MINIFIED_LINE_LEN)
+
+
+def has_hex_blob(content: Column) -> Column:
+    """Embedded long hex run (>= 40 chars): secrets/binary-dump signature."""
+    return content.rlike(HEX_BLOB_RE)

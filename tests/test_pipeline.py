@@ -96,3 +96,33 @@ def test_strata_labels(files_df, oracle_labels):
     assert by["pii"] >= 0.98
     for bad in ["gibberish", "boilerplate", "tiny", "minified", "low_alnum", "low_entropy"]:
         assert by[bad] == 0.0, (bad, by[bad])
+
+
+def test_marker_predicates_truth_table(spark):
+    """functions/heuristics marker predicates on hand-built rows."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions import heuristics as H
+
+    rows = [
+        (1, "# Licensed under the Apache License, Version 2.0\nprint(1)"),
+        (2, "var v1=3;" * 60),                      # one 540-char line
+        (3, "SECRET = \"" + "ab" * 25 + "\""),     # 50-char hex run
+        (4, "def f():\n    return 1"),              # clean
+        (5, "DEADBEEF" * 10),                       # uppercase: NOT a hex blob
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    got = {
+        r["id"]: (r["lic"], r["minif"], r["hexb"])
+        for r in df.select(
+            "id",
+            H.has_license_header(F.col("content")).alias("lic"),
+            H.looks_minified(F.col("content")).alias("minif"),
+            H.has_hex_blob(F.col("content")).alias("hexb"),
+        ).collect()
+    }
+    assert got[1] == (True, False, False)
+    assert got[2] == (False, True, False)
+    assert got[3] == (False, False, True)
+    assert got[4] == (False, False, False)
+    assert got[5] == (False, False, False)
