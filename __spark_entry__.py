@@ -1798,6 +1798,49 @@ def _sql_code_markers() -> str:
     return " UNION ALL ".join(rows)
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition ratios (the MassiveText/Gopher quality
+    rule): 1 − distinct/total word k-grams for k=2,3 — pure codegen'd
+    Column exprs (functions/heuristics.word_kgrams + repetition_ratio),
+    no shuffle, no hashing. The words array and both gram arrays are
+    materialized as columns first (no-CSE rule)."""
+    from data_quality_spark.functions import heuristics as H
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.withColumn("_ws", F.split("text", " "))
+        .withColumn("_g2", H.word_kgrams(F.col("_ws"), 2))
+        .withColumn("_g3", H.word_kgrams(F.col("_ws"), 3))
+        .select(
+            "doc_id",
+            F.round(H.repetition_ratio(F.col("_g2")), 6).alias("rep2"),
+            F.round(H.repetition_ratio(F.col("_g3")), 6).alias("rep3"),
+        )
+    )
+
+
+SQL_DOC_REPETITION = """
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      -- ws[i : i+k-1] mirrors Spark's slice(): docs shorter than k words
+      -- fold to one (shorter) gram, no index clamping
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ws) - 2 + 1, 1) + 1),
+               i -> array_to_string(ws[i : i + 1], ' ')) AS g2,
+             list_transform(range(1, greatest(len(ws) - 3 + 1, 1) + 1),
+               i -> array_to_string(ws[i : i + 2], ' ')) AS g3
+      FROM w
+    )
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(g2))::DOUBLE
+                 / greatest(len(g2), 1), 6) AS rep2,
+           round(1.0 - len(list_distinct(g3))::DOUBLE
+                 / greatest(len(g3), 1), 6) AS rep3
+    FROM g
+"""
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Increment-vs-history dedup (the daily-batch pattern at 10^12 docs:
     the corpus is never rescanned, only its digest/band index is joined —
@@ -2324,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
         "code_markers": q_code_markers,
+        "doc_repetition": q_doc_repetition,
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_topk_batch": q_embed_topk_batch,
@@ -2398,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters(),
         "duplicate_spans": _sql_duplicate_spans(),
         "code_markers": _sql_code_markers(),
+        "doc_repetition": SQL_DOC_REPETITION,
         "dedup_simhash": _sql_dedup_simhash(),
         "embed_topk": SQL_EMBED_TOPK,
         "embed_lsh_buckets": _sql_embed_lsh_buckets(),

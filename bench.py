@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "agreement_buckets",
     "doc_quality",
     "threshold_sweep",
+    "doc_repetition",
+    "code_markers",
     "doc_fingerprint",
     "doc_entropy",
     "doc_tokens",

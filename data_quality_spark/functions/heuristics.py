@@ -123,3 +123,25 @@ def looks_minified(content: Column) -> Column:
 def has_hex_blob(content: Column) -> Column:
     """Embedded long hex run (>= 40 chars): secrets/binary-dump signature."""
     return content.rlike(HEX_BLOB_RE)
+
+
+def word_kgrams(words: Column, k: int) -> Column:
+    """All word k-grams (NON-distinct, space-joined) from a materialized
+    words-array column. Docs shorter than k words fold to one gram —
+    matches the shingle-family clamping. ``words`` must be a materialized
+    column reference (no-CSE rule)."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))
+    )
+
+
+def repetition_ratio(grams: Column) -> Column:
+    """Within-document repetition: 1 − distinct/total over a k-gram array
+    (the MassiveText "repetition" quality rule: heavily looping docs score
+    high). Pure per-row expression — no shuffle, no hashing; runs inside
+    WholeStageCodegen on every row of a 10^12-file sweep."""
+    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast(
+        "double"
+    ) / F.greatest(F.size(grams), F.lit(1)).cast("double")

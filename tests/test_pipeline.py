@@ -126,3 +126,26 @@ def test_marker_predicates_truth_table(spark):
     assert got[3] == (False, False, True)
     assert got[4] == (False, False, False)
     assert got[5] == (False, False, False)
+
+
+def test_repetition_ratio_truth_table(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions import heuristics as H
+
+    rows = [(1, "a a a a"), (2, "a b c d"), (3, "a"), (4, "a b a b a b")]
+    df = (
+        spark.createDataFrame(rows, "id long, text string")
+        .withColumn("_ws", F.split("text", " "))
+        .withColumn("_g2", H.word_kgrams(F.col("_ws"), 2))
+    )
+    got = {
+        r["id"]: r["rep2"]
+        for r in df.select(
+            "id", F.round(H.repetition_ratio(F.col("_g2")), 6).alias("rep2")
+        ).collect()
+    }
+    assert got[1] == round(1 - 1 / 3, 6)  # 3 grams, all "a a"
+    assert got[2] == 0.0                  # all distinct
+    assert got[3] == 0.0                  # single short gram
+    assert got[4] == round(1 - 2 / 5, 6)  # "a b"x3 + "b a"x2
