@@ -610,6 +610,7 @@ def duplicate_spans(
     text_col: str,
     window_k: int = 4,
     min_docs: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact duplicated-span detection: substring-level dedup stats per doc.
 
@@ -637,6 +638,12 @@ def duplicate_spans(
     array_distinct per doc), so count(*) per doc = distinct windows.
     """
     sh = hashed_shingle_sets(df, key_col, text_col, None, window_k)
+    if materialize:
+        # the md5 word-hash fold feeds BOTH join branches (the per-doc
+        # window stream and the doc-frequency aggregate); without
+        # materialization each branch recomputes it from the scan —
+        # same discipline as ngram_jaccard_pairs(materialize=True)
+        sh = sh.localCheckpoint(eager=True)
     # explode_outer: the shingle arrays are never empty, and plain explode
     # re-inlines the md5 fold below the projection (no-CSE trap; see
     # _prefix_candidates_from)
