@@ -1184,6 +1184,42 @@ SQL_SAMPLE_STRATIFIED = """
 """
 
 
+MIX_TARGETS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.1, "src4": 0.05}
+
+
+def q_mix_rebalance(spark, sf_dir):
+    """Target-proportion corpus rebalancing (operators/splits.rebalance_mix):
+    per-stratum keep rates are COMPUTED from the data (downsample-only,
+    N_final = min count/target), membership stays the pure-md5 bucket rule —
+    the full kept row set is engine-reproducible, so the oracle is a row
+    hash, not a count tolerance. Strata outside the target mix drop."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return SP.rebalance_mix(d, "source", "doc_id", MIX_TARGETS)
+
+
+def _sql_mix_rebalance() -> str:
+    # same arithmetic, same operation order as the python driver side:
+    # n_final = min(cnt / tgt); rate = tgt * n_final / cnt (IEEE doubles
+    # both engines); membership = md5 bucket < round(rate * 10000)
+    vals = ", ".join(f"('{s}', {t})" for s, t in MIX_TARGETS.items())
+    return f"""
+    WITH c AS (
+      SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ), t (source, tgt) AS (
+      VALUES {vals}
+    ), nf AS (
+      SELECT min(cnt / tgt) AS nfinal FROM c JOIN t USING (source)
+    ), r AS (
+      SELECT c.source, t.tgt * nf.nfinal / c.cnt AS rate
+      FROM c JOIN t USING (source), nf
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < CAST(round(r.rate * 10000) AS BIGINT)
+    """
+
+
 def q_split_group(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").select("doc_id", "source")
     sp = SP.with_group_split(d, "source")
@@ -2385,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "split_row": q_split_row,
         "sample_stratified": q_sample_stratified,
+        "mix_rebalance": q_mix_rebalance,
         "split_group": q_split_group,
         "scrub_documents": q_scrub_documents,
         "string_render": q_string_render,
@@ -2462,6 +2499,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": SQL_EVENTS_JSON,
         "split_row": SQL_SPLIT_ROW,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
+        "mix_rebalance": _sql_mix_rebalance(),
         "split_group": SQL_SPLIT_GROUP,
         "scrub_documents": SQL_SCRUB_DOCUMENTS,
         "string_render": SQL_STRING_RENDER,

@@ -72,3 +72,33 @@ def stratified_sample(
     # (0.29 * 10000 = 2899.9999999999995 → 2899, dropping one bucket and
     # diverging from decimal oracle math); the SQL oracle mirrors round()
     return df.filter(bucket < F.round(rate_expr * 10_000).cast("bigint"))
+
+
+def rebalance_mix(
+    df: DataFrame, strata_col: str, key_col: str, targets: dict[str, float]
+) -> DataFrame:
+    """Downsample strata to reshape the corpus toward target mix
+    proportions (the data-mixing step of corpus building: e.g. "the final
+    training set should be 30% src0, 20% src1, ...").
+
+    Downsample-only: the achievable total is N_final = min_s(count_s /
+    target_s); each stratum keeps rate_s = target_s · N_final / count_s
+    ≤ 1 of its rows, so the kept set has the target proportions (up to
+    md5-bucket granularity) without upsampling anything. Strata missing
+    from ``targets`` are dropped (rate 0).
+
+    Membership reuses the stratified_sample md5-bucket rule — a pure
+    function of the key, reproducible across runs, partitionings, and in
+    the DuckDB oracle. 100 TB shape: one map-side-combined count agg
+    (O(#strata) rows to the driver — same class as the CC convergence
+    sums), then one narrow filter over the corpus; nothing else moves.
+    """
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+    }
+    present = {s: t for s, t in targets.items() if s in counts and t > 0}
+    if not present:
+        return df.filter(F.lit(False))
+    n_final = min(counts[s] / t for s, t in present.items())
+    rates = {s: t * n_final / counts[s] for s, t in present.items()}
+    return stratified_sample(df, strata_col, key_col, rates, default_rate=0.0)

@@ -229,3 +229,33 @@ def test_stratified_sample_rate_cast_regression(spark):
         int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10_000 == 2899
         for i in expect
     )
+
+
+def test_rebalance_mix_hits_target_proportions(spark):
+    """rates derived from data: uniform 4-strata corpus reshaped to
+    40/40/10/10 — kept counts track targets within md5-bucket noise, and
+    membership is deterministic (same rows on recompute)."""
+    from data_quality_spark.operators.splits import rebalance_mix
+
+    rows = [(i, f"s{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    targets = {"s0": 0.4, "s1": 0.4, "s2": 0.1, "s3": 0.1}
+    kept = rebalance_mix(df, "src", "k", targets).toPandas()
+    got = kept.groupby("src").size()
+    # N_final = min(500/0.4, 500/0.1) = 1250 → s0/s1 keep all 500,
+    # s2/s3 keep ~125 each
+    assert got["s0"] == 500 and got["s1"] == 500
+    assert abs(got["s2"] - 125) <= 25 and abs(got["s3"] - 125) <= 25
+    again = rebalance_mix(df, "src", "k", targets).toPandas()
+    assert set(kept["k"]) == set(again["k"])
+
+
+def test_rebalance_mix_drops_untargeted_strata(spark):
+    from data_quality_spark.operators.splits import rebalance_mix
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "k long, src string"
+    )
+    kept = rebalance_mix(df, "src", "k", {"a": 1.0}).toPandas()
+    assert set(kept["src"]) == {"a"}
+    assert len(kept) == 50  # rate 1.0 keeps every 'a' row
