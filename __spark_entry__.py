@@ -805,6 +805,35 @@ SQL_DOC_CHUNKS = """
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into 256-token blocks, SHARD-LOCAL (window
+    cumsum partitions by source — the production layout; no global sort).
+    operators/chunking.pack_sequences."""
+    from data_quality_spark.operators.chunking import pack_sequences
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return pack_sequences(
+        d, "doc_id", "text", block_tokens=256, group_col="source"
+    )
+
+
+SQL_PACK_SEQUENCES = """
+    WITH t AS (
+      SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_tokens AS cum
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(floor(cum::DOUBLE / 256) AS BIGINT) AS block_id,
+           CAST(cum % 256 AS BIGINT) AS block_offset
+    FROM c
+"""
+
+
 def q_semi_join(spark, sf_dir):
     """EXISTS / left-semi: orders having at least one big lineitem."""
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -2414,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "semi_join": q_semi_join,
         "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
         "events_running": q_events_running,
         "events_hourly": q_events_hourly,
         "events_count_windows": q_events_count_windows,
@@ -2492,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "semi_join": SQL_SEMI_JOIN,
         "doc_chunks": SQL_DOC_CHUNKS,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "events_running": SQL_EVENTS_RUNNING,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_count_windows": SQL_EVENTS_COUNT_WINDOWS,

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_incremental",
     "duplicate_spans",
+    "mix_rebalance",
+    "pack_sequences",
     "embed_topk",
     "embed_lsh_buckets",
     "embed_topk_batch",

@@ -58,3 +58,45 @@ def chunk_text(
         .select(key_col, "chunk_id", "n_chunk_tokens", "chunk_text")
     )
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    block_tokens: int = 256,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents, in deterministic key
+    order, to fixed-capacity token blocks (the training-example packing
+    step: concatenate docs until the context window is full).
+
+    ``block_id = floor(exclusive_cumsum / block_tokens)`` — a doc that
+    straddles a boundary belongs to the block where it STARTS (standard
+    greedy packing with spillover; the trainer slices the overflow).
+    ``block_offset`` is the doc's token start inside its block.
+
+    100 TB shape: packing is SHARD-LOCAL in production — pass the output
+    shard as ``group_col`` so the window cumsum partitions by shard and
+    no global sort of the corpus ever happens; each shard's blocks are
+    independent, which is also what keeps packing deterministic under
+    re-partitioning. ``group_col=None`` (one global ordering) is the
+    small-corpus/test form.
+    """
+    from pyspark.sql import Window
+
+    grp = [group_col] if group_col else []
+    d = df.select(
+        key_col,
+        *grp,
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    w = Window.partitionBy(*grp).orderBy(key_col)
+    cum = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_cum")
+    return d.withColumn("_cum", cum).select(
+        key_col,
+        *grp,
+        "n_tokens",
+        F.floor(F.col("_cum") / F.lit(block_tokens)).cast("long").alias("block_id"),
+        (F.col("_cum") % F.lit(block_tokens)).alias("block_offset"),
+    )

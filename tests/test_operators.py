@@ -259,3 +259,29 @@ def test_rebalance_mix_drops_untargeted_strata(spark):
     kept = rebalance_mix(df, "src", "k", {"a": 1.0}).toPandas()
     assert set(kept["src"]) == {"a"}
     assert len(kept) == 50  # rate 1.0 keeps every 'a' row
+
+
+def test_pack_sequences_greedy_blocks(spark):
+    """Hand-computed packing: exclusive cumsum in key order per group."""
+    from data_quality_spark.operators.chunking import pack_sequences
+
+    rows = [
+        (1, "g", "a b c"),          # 3 tokens, cum 0  → block 0 off 0
+        (2, "g", " ".join(["t"] * 6)),  # cum 3 → block 0 off 3
+        (3, "g", "x y"),            # cum 9 → block 1 off 1
+        (4, "h", "only doc"),       # other group: cum 0 → block 0
+    ]
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["block_id"], r["block_offset"])
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, g string, text string"),
+            "doc_id",
+            "text",
+            block_tokens=8,
+            group_col="g",
+        ).collect()
+    }
+    assert out[1] == (3, 0, 0)
+    assert out[2] == (6, 0, 3)
+    assert out[3] == (2, 1, 1)
+    assert out[4] == (2, 0, 0)
