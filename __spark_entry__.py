@@ -805,6 +805,53 @@ SQL_DOC_CHUNKS = """
 """
 
 
+def q_hygiene_report(spark, sf_dir):
+    """One-pass hygiene sweep (plans/hygiene.hygiene_report): per-source
+    doc counts, mean chars, mean within-doc 2-gram repetition (decimal
+    exact-sum rule), and marker prevalences — single scan, one map-side-
+    combined shuffle; the triage pass that runs before anything expensive."""
+    from data_quality_spark.plans.hygiene import hygiene_report
+
+    d = _read(spark, sf_dir, "documents").select("source", "text")
+    return hygiene_report(d, "source", "text", rep_k=2)
+
+
+SQL_HYGIENE_REPORT = """
+    WITH w AS (
+      SELECT source, text, str_split(text, ' ') AS ws,
+             length(text) AS nc
+      FROM documents
+    ), g AS (
+      SELECT source, text, nc,
+             list_transform(range(1, greatest(len(ws) - 2 + 1, 1) + 1),
+               i -> array_to_string(ws[i : i + 1], ' ')) AS g2,
+             len(str_split(text, chr(10))) AS n_lines
+      FROM w
+    ), r AS (
+      SELECT source, nc,
+             CAST(round(1.0 - len(list_distinct(g2))::DOUBLE
+                        / greatest(len(g2), 1), 6) AS DECIMAL(18,6)) AS rep,
+             CASE WHEN text LIKE '%Licensed under the Apache License%'
+                  THEN 1 ELSE 0 END AS lic,
+             CASE WHEN len(list_filter(str_split(text, chr(10)),
+                                        l -> length(l) >= 200)) > 0
+                  THEN 1 ELSE 0 END AS minif,
+             CASE WHEN regexp_matches(text, '[0-9a-f]{40,}')
+                  THEN 1 ELSE 0 END AS hexb
+      FROM g
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(sum(nc) / count(*), 6) AS avg_chars,
+           round(CAST(sum(rep) AS DOUBLE) / count(*), 6) AS avg_repetition,
+           CAST(sum(lic) AS BIGINT) AS n_license,
+           CAST(sum(minif) AS BIGINT) AS n_minified,
+           CAST(sum(hexb) AS BIGINT) AS n_hex_blob
+    FROM r
+    GROUP BY source
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing into 256-token blocks, SHARD-LOCAL (window
     cumsum partitions by source — the production layout; no global sort).
@@ -2444,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
+        "hygiene_report": q_hygiene_report,
         "events_running": q_events_running,
         "events_hourly": q_events_hourly,
         "events_count_windows": q_events_count_windows,
@@ -2523,6 +2571,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": SQL_SEMI_JOIN,
         "doc_chunks": SQL_DOC_CHUNKS,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "hygiene_report": SQL_HYGIENE_REPORT,
         "events_running": SQL_EVENTS_RUNNING,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_count_windows": SQL_EVENTS_COUNT_WINDOWS,

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "mix_rebalance",
     "pack_sequences",
+    "hygiene_report",
     "embed_topk",
     "embed_lsh_buckets",
     "embed_topk_batch",

@@ -1,0 +1,66 @@
+"""One-pass corpus hygiene sweep — the cheap screening report that runs
+BEFORE anything expensive (models, dedup joins) at 10^12-file scale.
+
+Composes the per-row Column signals (heuristics stats, marker predicates,
+within-doc repetition) into per-group aggregates in a SINGLE scan + one
+map-side-combined shuffle: every signal is a codegen'd expression over a
+materialized words/lines array (no-CSE rule), the groupBy reduces
+map-side, and nothing else moves. This is the triage pass that decides
+which strata are worth the expensive operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions import heuristics as H
+
+
+def hygiene_report(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    rep_k: int = 2,
+) -> DataFrame:
+    """Per-group hygiene aggregates over one scan.
+
+    Returns, per ``group_col``: row count, mean chars, mean within-doc
+    k-gram repetition, and marker prevalences (license header, minified
+    signature, hex-blob run) as counts. All doubles rounded to 6 (oracle
+    parity convention).
+    """
+    c = F.col(text_col)
+    g = (
+        df.withColumn("_ws", F.split(c, " "))
+        .withColumn("_grams", H.word_kgrams(F.col("_ws"), rep_k))
+        .select(
+            group_col,
+            H.n_chars(c).alias("_nc"),
+            # per-doc ratio rounded to 6 FIRST (bit-identical across
+            # engines), then summed as DECIMAL — the exact-sum rule:
+            # double sums re-associate between Spark partial aggs and the
+            # oracle's single-threaded sum and break the value hash
+            F.round(H.repetition_ratio(F.col("_grams")), 6)
+            .cast("decimal(18,6)")
+            .alias("_rep"),
+            H.has_license_header(c).cast("long").alias("_lic"),
+            H.looks_minified(c).cast("long").alias("_min"),
+            H.has_hex_blob(c).cast("long").alias("_hex"),
+        )
+    )
+    return (
+        g.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            # integer sum is exact; the division is one deterministic
+            # double op on both engines
+            F.round(F.sum("_nc") / F.count("*"), 6).alias("avg_chars"),
+            F.round(
+                F.sum("_rep").cast("double") / F.count("*"), 6
+            ).alias("avg_repetition"),
+            F.sum("_lic").alias("n_license"),
+            F.sum("_min").alias("n_minified"),
+            F.sum("_hex").alias("n_hex_blob"),
+        )
+    )

@@ -123,3 +123,12 @@ def test_duplicate_spans_plan_shape(spark):
         if "md5" in line:
             assert "Filter" not in line, line
     assert plan.count("md5") <= 2, plan  # one fold: md5 appears in one Project
+
+
+def test_hygiene_report_single_scan_one_shuffle(spark):
+    """The hygiene sweep must be ONE scan + ONE exchange (map-side-combined
+    aggregate) — every signal rides the same pass over the corpus."""
+    df = E.queries()["hygiene_report"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
