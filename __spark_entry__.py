@@ -451,6 +451,46 @@ def _sql_dedup_jaccard(k: int = 3, threshold: float = 0.5) -> str:
 """
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed containment near-dups (|Sa∩Sb|/|Sa| ≥ 0.8 — the
+    short-file-pasted-into-long-file case Jaccard structurally misses):
+    probe-side prefix filter joined against full posting lists, exact
+    verify on survivors (operators/dedup.ngram_containment_pairs). The
+    oracle brute-forces all directed pairs over the same hashed shingles."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return DD.ngram_containment_pairs(
+        d, "doc_id", "text", group_col="source", shingle_k=3, threshold=0.8
+    ).withColumn("containment", F.round("containment", 6))
+
+
+def _sql_dedup_containment(k: int = 3, threshold: float = 0.8) -> str:
+    combine = "wh[i]"
+    for j in range(1, k):
+        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
+    ), h AS (
+      SELECT doc_id, source,
+             list_transform(ws, x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
+      FROM w
+    ), s AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(wh) - {k} + 1, 1) + 1),
+               i -> {combine})) AS sh
+      FROM h
+    )
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           round(len(list_intersect(l.sh, r.sh))::DOUBLE
+                 / greatest(len(l.sh), 1), 6) AS containment
+    FROM s l JOIN s r ON l.source = r.source AND l.doc_id <> r.doc_id
+    WHERE len(list_intersect(l.sh, r.sh))::DOUBLE / greatest(len(l.sh), 1)
+          >= {threshold}
+    """
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate clusters: minhash-LSH candidate pairs → connected
     components (operators/dedup.connected_components, iterative min-label
@@ -2478,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
+        "dedup_containment": q_dedup_containment,
         "code_markers": q_code_markers,
         "doc_repetition": q_doc_repetition,
         "embed_topk": q_embed_topk,
@@ -2556,6 +2597,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _sql_dedup_jaccard(),
         "dedup_clusters": _sql_dedup_clusters(),
         "duplicate_spans": _sql_duplicate_spans(),
+        "dedup_containment": _sql_dedup_containment(),
         "code_markers": _sql_code_markers(),
         "doc_repetition": SQL_DOC_REPETITION,
         "dedup_simhash": _sql_dedup_simhash(),

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_jaccard",
+    "dedup_containment",
     "dedup_simhash",
     "dedup_clusters",
     "dedup_incremental",

@@ -666,3 +666,77 @@ def duplicate_spans(
         )
         .withColumnRenamed("k", key_col)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    materialize: bool = True,
+) -> DataFrame:
+    """Directed containment near-dup pairs: |Sa ∩ Sb| / |Sa| ≥ t, a ≠ b.
+
+    The asymmetric companion to ngram_jaccard_pairs: a short file pasted
+    into a long one has high containment but low Jaccard (the union is
+    dominated by the long file), so a Jaccard threshold never sees it —
+    the classic license-block / vendored-snippet case in code corpora.
+    Directed: (a, b) means "a is mostly inside b"; identical sets emit
+    both directions.
+
+    Prefix filtering on the PROBE side only (pigeonhole on a: at most
+    |Sa| − ⌈t·|Sa|⌉ shingles of a can be outside the intersection, so a's
+    rarest-first prefix of length |Sa| − ⌈t·|Sa|⌉ + 1 must contain a
+    shared shingle), joined against the b-side full posting lists, then
+    exact array_intersect verification of survivors — exact recall, same
+    argument as the Jaccard prefix join. Hot (stopword-grade) shingles
+    fall out of every probe prefix, so the join is bounded by
+    Σ_w df_full(w)·df_prefix(w) with df_prefix ≈ 0 for hot w — not the f²
+    of a naive shingle self-join. Same epsilon ceil guard, same hashed
+    shingles, same localCheckpoint sharing as the Jaccard operator.
+    """
+    sh = hashed_shingle_sets(df, key_col, text_col, group_col, shingle_k)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    grp = ["g"] if group_col else []
+    words = sh.select("k", "sz", *grp, F.explode_outer("sh").alias("w"))
+    dfc = words.groupBy(*grp, "w").agg(F.count("*").alias("df"))
+    ranked = words.join(dfc, [*grp, "w"]).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("df", "w"))
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
+        + 1
+    )
+    probe = ranked.filter(F.col("rn") <= prefix_len).select("k", *grp, "w")
+    full = words.select("k", *grp, "w")
+    on = [F.col("l.w") == F.col("r.w"), F.col("l.k") != F.col("r.k")]
+    if group_col:
+        on.append(F.col("l.g") == F.col("r.g"))
+    cand = (
+        probe.alias("l")
+        .join(full.alias("r"), on)
+        .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+        .distinct()
+    )
+    arrays = sh.drop("g") if group_col else sh
+    a_side = arrays.select(
+        F.col("k").alias("a"), F.col("sh").alias("sha"), F.col("sz").alias("sza")
+    )
+    b_side = arrays.select(F.col("k").alias("b"), F.col("sh").alias("shb"))
+    return (
+        cand.join(a_side, "a")
+        .join(b_side, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.greatest("sza", F.lit(1)).cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -289,3 +289,52 @@ def test_duplicate_spans_flags_the_copied_doc(spark, docs):
     # exact pair 1/2: every window duplicated; unrelated 5: none
     assert out[1] == 1.0 and out[2] == 1.0
     assert out[5] == 0.0
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """Short doc pasted into a long one: containment ≥ 0.8, Jaccard low."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"u{i}" for i in range(60))
+    rows = [(1, short, "g"), (2, short + " " + filler, "g"), (3, filler, "h")]
+    df = spark.createDataFrame(rows, "id long, text string, grp string")
+    cont = {
+        (r["a"], r["b"]): r["containment"]
+        for r in D.ngram_containment_pairs(
+            df, "id", "text", shingle_k=3, threshold=0.8
+        ).collect()
+    }
+    assert cont[(1, 2)] == 1.0        # every shingle of 1 is in 2
+    assert (2, 1) not in cont         # 2 is NOT inside 1
+    jac = D.ngram_jaccard_pairs(
+        df, "id", "text", shingle_k=3, threshold=0.5, method="prefix"
+    ).collect()
+    assert not any({r["a"], r["b"]} == {1, 2} for r in jac)  # jaccard blind
+
+
+def test_containment_prefix_matches_bruteforce(spark):
+    """Exact recall: prefix-filtered result == brute-force over the same
+    hashed shingle sets, random corpus."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["a"], r["b"]): round(r["containment"], 6)
+        for r in D.ngram_containment_pairs(
+            df, "id", "text", shingle_k=3, threshold=0.7
+        ).collect()
+    }
+    sets = {i: _py_window_hashes(t, 3) for i, t in rows}
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b:
+                c = len(sa & sb) / max(len(sa), 1)
+                if c >= 0.7:
+                    want[(a, b)] = round(c, 6)
+    assert got == want
