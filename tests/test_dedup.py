@@ -338,3 +338,36 @@ def test_containment_prefix_matches_bruteforce(spark):
                 if c >= 0.7:
                     want[(a, b)] = round(c, 6)
     assert got == want
+
+
+def test_duplicate_spans_hot_window_skew(spark):
+    """A window planted in 50% of docs (boilerplate-grade skew) still
+    matches the python reference — the doc-frequency aggregate absorbs the
+    hot key map-side; correctness is unaffected by duplication rate."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+    hot = "copyright header boilerplate line"
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 20)))
+        text = (hot + " " + body) if i % 2 == 0 else body
+        rows.append((i, text))
+    k = 4
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup"])
+        for r in D.duplicate_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            window_k=k,
+        ).collect()
+    }
+    from collections import Counter
+
+    sets = {i: _py_window_hashes(t, k) for i, t in rows}
+    freq = Counter(h for s in sets.values() for h in s)
+    for i, s in sets.items():
+        nd = sum(1 for h in s if freq[h] >= 2)
+        assert got[i] == (len(s), nd), i

@@ -285,3 +285,20 @@ def test_pack_sequences_greedy_blocks(spark):
     assert out[2] == (6, 0, 3)
     assert out[3] == (2, 1, 1)
     assert out[4] == (2, 0, 0)
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    """Packing is a pure function of (key order, token counts): the block
+    assignment must not change when the input's physical partitioning
+    does."""
+    from data_quality_spark.operators.chunking import pack_sequences
+
+    rows = [(i, f"g{i % 3}", "tok " * (i % 7 + 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, g string, text string")
+    a = pack_sequences(df, "k", "text", block_tokens=16, group_col="g").toPandas()
+    b = pack_sequences(
+        df.repartition(17, "text"), "k", "text", block_tokens=16, group_col="g"
+    ).toPandas()
+    a = a.sort_values("k").reset_index(drop=True)
+    b = b.sort_values("k").reset_index(drop=True)
+    assert a.equals(b)
