@@ -101,6 +101,14 @@ def main():
             "comparison anywhere (gated in test_plans.py).",
         ),
         (
+            "dedup_containment — probe-prefix vs full posting lists",
+            qs["dedup_containment"](spark, SF),
+            "The probe side keeps only its rarest-first prefix "
+            "(pigeonhole on the contained set); the full side explodes "
+            "every shingle. Exact recall without prefix-vs-prefix "
+            "symmetry; verify joins only the surviving candidates.",
+        ),
+        (
             "hygiene_report — every per-row signal in ONE scan",
             qs["hygiene_report"](spark, SF),
             "Single FileScan + single Exchange (map-side-combined "
