@@ -91,3 +91,13 @@ ROWS_ONLY_DOCUMENTED: set[str] = set()
 def test_every_query_is_oracle_checked_or_documented():
     assert set(ALL) - set(ORACLE) == ROWS_ONLY_DOCUMENTED
     assert set(ORACLE) <= set(ALL)  # no orphan oracles
+
+
+def test_bench_list_is_subset_of_queries():
+    """bench.py's BENCH_QUERIES must never drift from the driver contract
+    (a renamed query would silently drop out of the timed suite)."""
+    import bench
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in ALL]
+    assert not missing, missing
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
