@@ -851,6 +851,35 @@ SQL_DOC_CHUNKS = """
 """
 
 
+def q_bigram_lm_fit(spark, sf_dir):
+    """Distributed bigram-LM fit over the corpus (functions/text.
+    fit_bigram_lm): P(w2|w1) from adjacent-token counts, unigram
+    normalizer derived from the bigram table itself (no second corpus
+    scan), bigrams with n >= 5. The model-FITTING counterpart to the
+    applied models.BigramLM perplexity scorer."""
+    from data_quality_spark.functions.text import fit_bigram_lm
+
+    d = _read(spark, sf_dir, "documents").select("text")
+    return fit_bigram_lm(d, "text", min_count=5)
+
+
+SQL_BIGRAM_LM_FIT = """
+    WITH w AS (
+      SELECT str_split(text, ' ') AS ws FROM documents
+    ), p AS (
+      SELECT ws[i] AS w1, ws[least(i + 1, len(ws))] AS w2
+      FROM w, unnest(range(1, greatest(len(ws) - 1, 1) + 1)) AS t(i)
+    ), bg AS (
+      SELECT w1, w2, count(*) AS n FROM p GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1, sum(n) AS n1 FROM bg GROUP BY w1
+    )
+    SELECT bg.w1, bg.w2, bg.n, round(bg.n::DOUBLE / uni.n1, 6) AS prob
+    FROM bg JOIN uni USING (w1)
+    WHERE bg.n >= 5
+"""
+
+
 def q_hygiene_report(spark, sf_dir):
     """One-pass hygiene sweep (plans/hygiene.hygiene_report): per-source
     doc counts, mean chars, mean within-doc 2-gram repetition (decimal
@@ -2534,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "hygiene_report": q_hygiene_report,
+        "bigram_lm_fit": q_bigram_lm_fit,
         "events_running": q_events_running,
         "events_hourly": q_events_hourly,
         "events_count_windows": q_events_count_windows,
@@ -2615,6 +2645,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": SQL_DOC_CHUNKS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "hygiene_report": SQL_HYGIENE_REPORT,
+        "bigram_lm_fit": SQL_BIGRAM_LM_FIT,
         "events_running": SQL_EVENTS_RUNNING,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_count_windows": SQL_EVENTS_COUNT_WINDOWS,

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "mix_rebalance",
     "pack_sequences",
     "hygiene_report",
+    "bigram_lm_fit",
     "embed_topk",
     "embed_lsh_buckets",
     "embed_topk_batch",

@@ -116,3 +116,48 @@ def quality_score(
     sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.5)
     dup_ok = F.lit(1.0) - F.least(dup, F.lit(1.0)) * 0.5
     return F.round(wlen_ok * 0.4 + sw_ok * 0.3 + dup_ok * 0.3, 6)
+
+
+def fit_bigram_lm(df, text_col: str, min_count: int = 2):
+    """Fit a bigram language model FROM the corpus (the distributed
+    counterpart to applying models.BigramLM): conditional probabilities
+    P(w2|w1) = count(w1,w2) / count(w1·) over whitespace tokens, keeping
+    bigrams seen at least ``min_count`` times.
+
+    100 TB shape: one narrow pass builds per-doc adjacent-pair arrays, one
+    map-side-combined groupBy((w1,w2)) collapses the corpus to its bigram
+    dictionary, and the unigram normalizer is derived from the SAME bigram
+    table (sum over w2 — vocabulary-sized, broadcastable) instead of a
+    second corpus scan. Returns (w1, w2, n, prob) with prob rounded to 6
+    (oracle parity convention).
+    """
+    from pyspark.sql import functions as F
+
+    d = df.select(F.split(F.col(text_col), " ").alias("_ws"))
+    n = F.size("_ws")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at("_ws", i).alias("w1"),
+            F.element_at("_ws", F.least(i + 1, n)).alias("w2"),
+        ),
+    )
+    # docs with a single word emit (w, w) via the least() clamp — the same
+    # degenerate-tail convention as the shingle fold, mirrored in the oracle
+    bg = (
+        d.select(F.explode_outer(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    uni = bg.groupBy("w1").agg(F.sum("n").alias("n1"))
+    return (
+        bg.join(uni, "w1")
+        .filter(F.col("n") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(F.col("n") / F.col("n1"), 6).alias("prob"),
+        )
+    )

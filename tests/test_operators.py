@@ -302,3 +302,30 @@ def test_pack_sequences_stable_under_repartition(spark):
     a = a.sort_values("k").reset_index(drop=True)
     b = b.sort_values("k").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_fit_bigram_lm_matches_python_counts(spark):
+    from collections import Counter
+
+    from data_quality_spark.functions.text import fit_bigram_lm
+
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "solo")]
+    got = {
+        (r["w1"], r["w2"]): (r["n"], r["prob"])
+        for r in fit_bigram_lm(
+            spark.createDataFrame(rows, "id long, text string"), "text",
+            min_count=1,
+        ).collect()
+    }
+    pairs = Counter()
+    for _, t in rows:
+        ws = t.split(" ")
+        if len(ws) == 1:
+            pairs[(ws[0], ws[0])] += 1
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] += 1
+    uni = Counter()
+    for (w1, _), c in pairs.items():
+        uni[w1] += c
+    want = {k: (c, round(c / uni[k[0]], 6)) for k, c in pairs.items()}
+    assert got == want
