@@ -851,6 +851,39 @@ SQL_DOC_CHUNKS = """
 """
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Most distinctive terms per doc by unsmoothed TF-IDF
+    (functions/text.tfidf_top_terms): narrow explode → map-side tf agg →
+    vocabulary-sized df join-back → bounded per-doc window top-3, ties
+    broken lexicographically (engine-deterministic)."""
+    from data_quality_spark.functions.text import tfidf_top_terms
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, "doc_id", "text", top_k=3)
+
+
+SQL_TFIDF_TERMS = """
+    WITH w AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w
+    ), d AS (
+      SELECT w, count(*) AS df FROM tf GROUP BY w
+    ), s AS (
+      SELECT tf.doc_id, tf.w, tf.tf,
+             round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE
+                              / d.df), 6) AS score
+      FROM tf JOIN d USING (w)
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rank
+      FROM s
+    )
+    SELECT doc_id, w AS term, tf, score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+"""
+
+
 def q_bigram_lm_fit(spark, sf_dir):
     """Distributed bigram-LM fit over the corpus (functions/text.
     fit_bigram_lm): P(w2|w1) from adjacent-token counts, unigram
@@ -2564,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "hygiene_report": q_hygiene_report,
         "bigram_lm_fit": q_bigram_lm_fit,
+        "tfidf_terms": q_tfidf_terms,
         "events_running": q_events_running,
         "events_hourly": q_events_hourly,
         "events_count_windows": q_events_count_windows,
@@ -2646,6 +2680,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "hygiene_report": SQL_HYGIENE_REPORT,
         "bigram_lm_fit": SQL_BIGRAM_LM_FIT,
+        "tfidf_terms": SQL_TFIDF_TERMS,
         "events_running": SQL_EVENTS_RUNNING,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_count_windows": SQL_EVENTS_COUNT_WINDOWS,

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "hygiene_report",
     "bigram_lm_fit",
+    "tfidf_terms",
     "embed_topk",
     "embed_lsh_buckets",
     "embed_topk_batch",

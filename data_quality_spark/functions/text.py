@@ -161,3 +161,45 @@ def fit_bigram_lm(df, text_col: str, min_count: int = 2):
             F.round(F.col("n") / F.col("n1"), 6).alias("prob"),
         )
     )
+
+
+def tfidf_top_terms(df, key_col: str, text_col: str, top_k: int = 3):
+    """Most distinctive terms per document by TF-IDF: score(w, d) =
+    tf(w,d) · ln(N / df(w)), smooth-free (documents containing every
+    word score 0 for it via ln(1) — the classic unsmoothed form).
+
+    100 TB shape: per-doc term counts come from a narrow explode +
+    map-side-combined groupBy((doc, w)); the document-frequency side
+    collapses to the vocabulary (groupBy(w) over DISTINCT doc-term pairs
+    — already distinct after the first agg) and joins back on the term;
+    top-k per doc is a bounded window over each doc's own terms. Ties
+    broken lexicographically so the result is engine-deterministic.
+    Returns (key, term, tf, score, rank).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_docs = df.count()  # one O(1)-row action: the IDF constant
+    words = df.select(
+        F.col(key_col).alias("k"),
+        F.explode_outer(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    tf = words.groupBy("k", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "w").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ),
+    )
+    win = Window.partitionBy("k").orderBy(
+        F.col("score").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("k").alias(key_col), F.col("w").alias("term"),
+            "tf", "score", "rank",
+        )
+    )

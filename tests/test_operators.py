@@ -329,3 +329,32 @@ def test_fit_bigram_lm_matches_python_counts(spark):
         uni[w1] += c
     want = {k: (c, round(c / uni[k[0]], 6)) for k, c in pairs.items()}
     assert got == want
+
+
+def test_tfidf_top_terms_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from data_quality_spark.functions.text import tfidf_top_terms
+
+    rows = [
+        (1, "spark spark join filter"),
+        (2, "join filter filter scan"),
+        (3, "scan scan scan unique"),
+    ]
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_top_terms(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", top_k=2,
+        ).collect()
+    }
+    tfs = {i: Counter(t.split(" ")) for i, t in rows}
+    dfreq = Counter(w for c in tfs.values() for w in c)
+    for i, c in tfs.items():
+        scored = sorted(
+            ((w, n, round(n * math.log(3 / dfreq[w]), 6)) for w, n in c.items()),
+            key=lambda x: (-x[2], x[0]),
+        )
+        for rank, (w, n, s) in enumerate(scored[:2], 1):
+            assert got[(i, rank)] == (w, n, s), (i, rank)
