@@ -898,10 +898,12 @@ def q_bigram_lm_fit(spark, sf_dir):
 
 SQL_BIGRAM_LM_FIT = """
     WITH w AS (
+      -- single-word docs contribute no bigrams (mirrors the operator)
       SELECT str_split(text, ' ') AS ws FROM documents
+      WHERE len(str_split(text, ' ')) >= 2
     ), p AS (
-      SELECT ws[i] AS w1, ws[least(i + 1, len(ws))] AS w2
-      FROM w, unnest(range(1, greatest(len(ws) - 1, 1) + 1)) AS t(i)
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, unnest(range(1, len(ws) - 1 + 1)) AS t(i)
     ), bg AS (
       SELECT w1, w2, count(*) AS n FROM p GROUP BY w1, w2
     ), uni AS (
@@ -943,7 +945,7 @@ SQL_HYGIENE_REPORT = """
              CASE WHEN len(list_filter(str_split(text, chr(10)),
                                         l -> length(l) >= 200)) > 0
                   THEN 1 ELSE 0 END AS minif,
-             CASE WHEN regexp_matches(text, '[0-9a-f]{40,}')
+             CASE WHEN regexp_matches(text, '[0-9a-fA-F]{40,}')
                   THEN 1 ELSE 0 END AS hexb
       FROM g
     )
@@ -1381,10 +1383,15 @@ def q_mix_rebalance(spark, sf_dir):
 
 
 def _sql_mix_rebalance() -> str:
-    # same arithmetic, same operation order as the python driver side:
-    # n_final = min(cnt / tgt); rate = tgt * n_final / cnt (IEEE doubles
-    # both engines); membership = md5 bucket < round(rate * 10000)
-    vals = ", ".join(f"('{s}', {t})" for s, t in MIX_TARGETS.items())
+    # same arithmetic, same operation order as the python operator side:
+    # targets normalized over present strata (all 5 exist in every sf dir),
+    # then n_final = min(cnt / t); rate = t * n_final / cnt (IEEE doubles
+    # both engines); membership = md5 bucket < round(rate * 10000).
+    # Normalization happens HERE in python (same dict order as the
+    # operator) and the normalized doubles are inlined via repr, so both
+    # engines start from bit-identical weights.
+    tot = sum(MIX_TARGETS.values())
+    vals = ", ".join(f"('{s}', {t / tot!r})" for s, t in MIX_TARGETS.items())
     return f"""
     WITH c AS (
       SELECT source, count(*) AS cnt FROM documents GROUP BY source
@@ -1999,7 +2006,7 @@ def _sql_code_markers() -> str:
     from data_quality_spark.corpus import generate_files_pdf
 
     pdf = generate_files_pdf(n_files=PIPE_N_FILES, seed=PIPE_SEED)
-    hex_re = re.compile(r"[0-9a-f]{40,}")
+    hex_re = re.compile(r"[0-9a-fA-F]{40,}")
     rows = []
     for lang, g in pdf.groupby("lang"):
         lic = int(g.content.str.contains(

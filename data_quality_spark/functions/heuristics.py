@@ -106,7 +106,9 @@ def with_heuristics(df, content_col: str = "content"):
 
 LICENSE_MARKER = "Licensed under the Apache License"
 MINIFIED_LINE_LEN = 200
-HEX_BLOB_RE = "[0-9a-f]{40,}"  # ASCII class + bounded repeat: dialect-safe
+# ASCII class + bounded repeat: dialect-safe. Case-insensitive — uppercase
+# hex dumps (certificate fingerprints, C array dumps) are blobs too.
+HEX_BLOB_RE = "[0-9a-fA-F]{40,}"
 
 
 def has_license_header(content: Column) -> Column:

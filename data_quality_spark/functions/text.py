@@ -133,17 +133,20 @@ def fit_bigram_lm(df, text_col: str, min_count: int = 2):
     """
     from pyspark.sql import functions as F
 
-    d = df.select(F.split(F.col(text_col), " ").alias("_ws"))
+    # single-word docs contribute NO bigrams (unlike the shingle fold's
+    # whole-doc fingerprint clamp, a phantom (w, w) pair here would inflate
+    # both the bigram mass and the unigram normalizer and distort P(w2|w1))
+    d = df.select(F.split(F.col(text_col), " ").alias("_ws")).filter(
+        F.size("_ws") >= 2
+    )
     n = F.size("_ws")
     pairs = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        F.sequence(F.lit(1), n - 1),
         lambda i: F.struct(
             F.element_at("_ws", i).alias("w1"),
-            F.element_at("_ws", F.least(i + 1, n)).alias("w2"),
+            F.element_at("_ws", i + 1).alias("w2"),
         ),
     )
-    # docs with a single word emit (w, w) via the least() clamp — the same
-    # degenerate-tail convention as the shingle fold, mirrored in the oracle
     bg = (
         d.select(F.explode_outer(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))

@@ -81,11 +81,14 @@ def rebalance_mix(
     proportions (the data-mixing step of corpus building: e.g. "the final
     training set should be 30% src0, 20% src1, ...").
 
-    Downsample-only: the achievable total is N_final = min_s(count_s /
-    target_s); each stratum keeps rate_s = target_s · N_final / count_s
-    ≤ 1 of its rows, so the kept set has the target proportions (up to
-    md5-bucket granularity) without upsampling anything. Strata missing
-    from ``targets`` are dropped (rate 0).
+    Downsample-only: targets are first NORMALIZED over the strata actually
+    present (so {a: 0.3, b: 0.1} means a 3:1 mix whether or not the
+    weights sum to 1); the achievable total is N_final = min_s(count_s /
+    t_s) over the normalized weights, and each stratum keeps rate_s =
+    t_s · N_final / count_s ≤ 1 of its rows — the kept set has exactly
+    the target proportions (up to md5-bucket granularity) without
+    upsampling anything. Strata missing from ``targets`` are dropped
+    (rate 0).
 
     Membership reuses the stratified_sample md5-bucket rule — a pure
     function of the key, reproducible across runs, partitionings, and in
@@ -99,6 +102,8 @@ def rebalance_mix(
     present = {s: t for s, t in targets.items() if s in counts and t > 0}
     if not present:
         return df.filter(F.lit(False))
+    tot = sum(present.values())
+    present = {s: t / tot for s, t in present.items()}
     n_final = min(counts[s] / t for s, t in present.items())
     rates = {s: t * n_final / counts[s] for s, t in present.items()}
     return stratified_sample(df, strata_col, key_col, rates, default_rate=0.0)

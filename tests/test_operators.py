@@ -320,8 +320,7 @@ def test_fit_bigram_lm_matches_python_counts(spark):
     pairs = Counter()
     for _, t in rows:
         ws = t.split(" ")
-        if len(ws) == 1:
-            pairs[(ws[0], ws[0])] += 1
+        # single-word docs contribute nothing (no phantom self-bigram)
         for a, b in zip(ws, ws[1:]):
             pairs[(a, b)] += 1
     uni = Counter()
@@ -358,3 +357,18 @@ def test_tfidf_top_terms_matches_python(spark):
         )
         for rank, (w, n, s) in enumerate(scored[:2], 1):
             assert got[(i, rank)] == (w, n, s), (i, rank)
+
+
+def test_rebalance_mix_normalizes_unnormalized_targets(spark):
+    """targets summing to 0.5 mean the same MIX as targets summing to 1 —
+    the kept-set proportions follow the normalized weights."""
+    from data_quality_spark.operators.splits import rebalance_mix
+
+    rows = [(i, f"s{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    kept = rebalance_mix(df, "src", "k", {"s0": 0.3, "s1": 0.1}).toPandas()
+    got = kept.groupby("src").size()
+    # normalized 0.75/0.25: N_final = min(1000/0.75, 1000/0.25) = 1333
+    # → s0 keeps all 1000, s1 keeps ~333
+    assert got["s0"] == 1000
+    assert abs(got["s1"] - 333) <= 40

@@ -109,7 +109,8 @@ def test_marker_predicates_truth_table(spark):
         (2, "var v1=3;" * 60),                      # one 540-char line
         (3, "SECRET = \"" + "ab" * 25 + "\""),     # 50-char hex run
         (4, "def f():\n    return 1"),              # clean
-        (5, "DEADBEEF" * 10),                       # uppercase: NOT a hex blob
+        (5, "DEADBEEF" * 10),                       # uppercase hex: a blob too
+        (6, "0xAB, 0xCD plus prose"),               # short runs: not a blob
     ]
     df = spark.createDataFrame(rows, "id long, content string")
     got = {
@@ -125,7 +126,8 @@ def test_marker_predicates_truth_table(spark):
     assert got[2] == (False, True, False)
     assert got[3] == (False, False, True)
     assert got[4] == (False, False, False)
-    assert got[5] == (False, False, False)
+    assert got[5] == (False, False, True)
+    assert got[6] == (False, False, False)
 
 
 def test_repetition_ratio_truth_table(spark):
