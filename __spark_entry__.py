@@ -540,6 +540,34 @@ def _sql_dedup_clusters() -> str:
     """
 
 
+def q_dedup_apply(spark, sf_dir):
+    """The dedup loop CLOSED: minhash-LSH pairs → connected components →
+    keep one representative per cluster (min doc_id) → left-semi back to
+    the corpus. This is the query a production run actually materializes —
+    the deduplicated table, not the pair list. 100 TB shape: the kept-id
+    side is ids-only (narrow) and the final join is a semi join on the
+    key, so no text moves until the keep decision is made."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = DD.minhash_candidates(
+        d, "doc_id", "text", MINHASH_NUM, MINHASH_BANDS, MINHASH_K
+    ).select("a", "b")
+    comp = DD.connected_components(pairs, d, "doc_id")
+    kept = comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return (
+        d.join(kept, "doc_id", "left_semi")
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
+
+
+def _sql_dedup_apply() -> str:
+    return f"""
+    WITH comp AS ({_sql_dedup_clusters()})
+    SELECT d.doc_id, length(d.text) AS n_chars
+    FROM documents d
+    JOIN comp ON d.doc_id = comp.doc_id AND comp.kept = 1
+    """
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return DD.simhash(d, "text").select("doc_id", "simhash")
@@ -2589,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
         "dedup_containment": q_dedup_containment,
+        "dedup_apply": q_dedup_apply,
         "code_markers": q_code_markers,
         "doc_repetition": q_doc_repetition,
         "embed_topk": q_embed_topk,
@@ -2670,6 +2699,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters(),
         "duplicate_spans": _sql_duplicate_spans(),
         "dedup_containment": _sql_dedup_containment(),
+        "dedup_apply": _sql_dedup_apply(),
         "code_markers": _sql_code_markers(),
         "doc_repetition": SQL_DOC_REPETITION,
         "dedup_simhash": _sql_dedup_simhash(),

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_apply",
     "dedup_incremental",
     "duplicate_spans",
     "mix_rebalance",
