@@ -634,6 +634,52 @@ def _sql_duplicate_spans(k: int = 4, min_docs: int = 2) -> str:
     """
 
 
+def q_duplicate_span_extents(spark, sf_dir):
+    """MAXIMAL duplicated spans (operators/dedup.duplicate_span_extents):
+    adjacent duplicated 4-word windows merged into (span_start, n_windows,
+    span_len) extents via gaps-and-islands — the variable-length Lee-et-al.
+    substring-dedup signal. Linear plan: posexplode + doc-frequency agg +
+    semi join + one per-doc window pass; no pair join."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.duplicate_span_extents(d, "doc_id", "text", window_k=4, min_docs=2)
+
+
+def _sql_duplicate_span_extents(k: int = 4, min_docs: int = 2) -> str:
+    # same positional rolling word-hash combiner; islands via i - row_number
+    combine = _sql_rolling_combine(k)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), h AS (
+      SELECT doc_id, len(ws) AS n_words,
+             list_transform(ws, x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
+      FROM w
+    ), p AS (
+      SELECT doc_id, n_words,
+             unnest(range(1, greatest(len(wh) - {k} + 1, 1) + 1)) AS i,
+             unnest(list_transform(
+               range(1, greatest(len(wh) - {k} + 1, 1) + 1),
+               i -> {combine})) AS wv
+      FROM h
+    ), f AS (
+      SELECT wv FROM (
+        SELECT wv, count(DISTINCT doc_id) AS ndocs FROM p GROUP BY wv
+      ) WHERE ndocs >= {min_docs}
+    ), d AS (
+      SELECT p.doc_id, p.n_words, p.i,
+             row_number() OVER (PARTITION BY p.doc_id ORDER BY p.i) AS rn
+      FROM p SEMI JOIN f ON p.wv = f.wv
+    )
+    SELECT doc_id,
+           CAST(min(i) AS BIGINT) AS span_start,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(least(min(i) + count(*) + {k} - 2, any_value(n_words))
+                - min(i) + 1 AS BIGINT) AS span_len
+    FROM d GROUP BY doc_id, i - rn
+    """
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 
@@ -2600,7 +2646,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT (round 4): the driver's CORRECTNESS artifact records
+    # the FIRST 50 dict entries only. Rounds 1-3 left 18 queries without a
+    # driver row (10 never checked, 8 slid out of the r3 window), so those 18
+    # lead, followed by round-4's new queries, then the r3-green tail. The
+    # union of r3+r4 driver artifacts then covers all entries.
     return {
+        # -- never driver-checked (r1-r3) --
+        "pipeline_keep_drop": q_pipeline_keep_drop,
+        "pipeline_metrics": q_pipeline_metrics,
+        "estimator_quality": q_estimator_quality,
+        "sessionized_counts": q_sessionized_counts,
+        "decontaminate": q_decontaminate,
+        "boilerplate_lines": q_boilerplate_lines,
+        "dedup_incremental": q_dedup_incremental,
+        "transpose_metrics": q_transpose_metrics,
+        "threshold_sweep": q_threshold_sweep,
+        "heavy_hitters": q_heavy_hitters,
+        # -- green in r2 but outside the r3 window --
+        "embed_cosine_dup": q_embed_cosine_dup,
+        "asof_join": q_asof_join,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "quantiles": q_quantiles,
+        "quantiles_approx": q_quantiles_approx,
+        "pivot_event_types": q_pivot_event_types,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "symbolic_sequences": q_symbolic_sequences,
+        # -- new in round 4 --
+        "duplicate_span_extents": q_duplicate_span_extents,
+        # -- driver-green in r3 --
         "agreement_score": q_agreement_score,
         "agreement_buckets": q_agreement_buckets,
         "quality_binarize": q_quality_binarize,
@@ -2651,24 +2725,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_mad": q_outliers_mad,
         "vocab_topk": q_vocab_topk,
         "set_ops": q_set_ops,
-        "embed_cosine_dup": q_embed_cosine_dup,
-        "asof_join": q_asof_join,
-        "rollup_hierarchy": q_rollup_hierarchy,
-        "quantiles": q_quantiles,
-        "quantiles_approx": q_quantiles_approx,
-        "pivot_event_types": q_pivot_event_types,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "pipeline_keep_drop": q_pipeline_keep_drop,
-        "pipeline_metrics": q_pipeline_metrics,
-        "estimator_quality": q_estimator_quality,
-        "sessionized_counts": q_sessionized_counts,
-        "decontaminate": q_decontaminate,
-        "boilerplate_lines": q_boilerplate_lines,
-        "dedup_incremental": q_dedup_incremental,
-        "transpose_metrics": q_transpose_metrics,
-        "threshold_sweep": q_threshold_sweep,
-        "heavy_hitters": q_heavy_hitters,
-        "symbolic_sequences": q_symbolic_sequences,
     }
 
 
@@ -2698,6 +2754,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _sql_dedup_jaccard(),
         "dedup_clusters": _sql_dedup_clusters(),
         "duplicate_spans": _sql_duplicate_spans(),
+        "duplicate_span_extents": _sql_duplicate_span_extents(),
         "dedup_containment": _sql_dedup_containment(),
         "dedup_apply": _sql_dedup_apply(),
         "code_markers": _sql_code_markers(),

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "dedup_apply",
     "dedup_incremental",
     "duplicate_spans",
+    "duplicate_span_extents",
     "mix_rebalance",
     "pack_sequences",
     "hygiene_report",

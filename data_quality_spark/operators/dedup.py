@@ -133,10 +133,12 @@ def _shingles(text_col: str, k: int):
     )
 
 
-def _shingle_hashes_from(wh, k: int):
-    """Distinct k-shingle hashes from a word-hash ARRAY COLUMN REFERENCE:
-    combine k consecutive word hashes with a rolling polynomial mod 2³¹−1.
-    One md5 per word instead of one per shingle string.
+def _window_hash_array(wh, k: int):
+    """Positional k-window hashes (document order, NOT distinct) from a
+    word-hash ARRAY COLUMN REFERENCE: element i is the rolling-polynomial
+    fold of word hashes i..i+k-1 mod 2³¹−1. One md5 per word, no window
+    strings. Positional form feeds duplicate_span_extents; the distinct
+    set form (_shingle_hashes_from) feeds everything else.
 
     ``wh`` MUST be a materialized column reference, not an inline
     transform(...) expression: Catalyst does no CSE inside higher-order
@@ -153,8 +155,14 @@ def _shingle_hashes_from(wh, k: int):
             )
         return acc
 
-    # short docs (n < k): single shingle folding all words (least() clamps)
-    return F.array_distinct(F.transform(idx, combine))
+    # short docs (n < k): single window folding all words (least() clamps)
+    return F.transform(idx, combine)
+
+
+def _shingle_hashes_from(wh, k: int):
+    """Distinct k-shingle hashes from a word-hash array column reference —
+    the set form of _window_hash_array (same no-CSE caveat)."""
+    return F.array_distinct(_window_hash_array(wh, k))
 
 
 def word_hash_array(text_col: str):
@@ -665,6 +673,89 @@ def duplicate_spans(
             F.round(F.col("n_dup") / F.col("n_windows"), 6),
         )
         .withColumnRenamed("k", key_col)
+    )
+
+
+def duplicate_span_extents(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    window_k: int = 4,
+    min_docs: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """MAXIMAL duplicated spans per doc — the variable-length companion to
+    duplicate_spans. Where duplicate_spans reports fixed-k window *counts*,
+    this merges runs of ADJACENT duplicated windows into
+    (span_start, n_windows, span_len) extents — the actual substring-dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): a 400-word pasted block shows up as ONE span of ~400
+    words, not 397 anonymous window hits.
+
+    Mechanics: positional k-word window hashes (_window_hash_array, one md5
+    per word, document order), doc-frequency flags on windows occurring in
+    >= min_docs DISTINCT docs (within-doc repeats don't inflate the count —
+    same semantics as duplicate_spans), then classic gaps-and-islands: for
+    the flagged windows of a doc ordered by position i, group key
+    i - row_number() is constant exactly on consecutive runs. span_start is
+    1-based word position; span_len is the covered word count
+    min(span_start + n_windows + k - 2, n_words) - span_start + 1 (the last
+    window reaches k-1 words past its start, clamped to the doc).
+
+    100 TB shape: linear, no pair join anywhere. One narrow posexplode, one
+    map-side-combinable doc-frequency aggregate (partial agg on (w, doc)
+    absorbs within-doc repeats of hot boilerplate windows before the
+    per-window count), a LEFT SEMI join of positions against the FILTERED
+    flag side (small by construction — only duplicated windows survive, so
+    AQE broadcasts it at moderate dup rates; a window shared by 10^8 docs
+    is still ONE flag row), and one per-doc window pass for the island
+    merge (partitionBy doc — perfectly parallel, no skew: a doc's positions
+    are bounded by its word count). Cost is independent of dup rate.
+    """
+    base = (
+        df.select(F.col(key_col).alias("k"), F.col(text_col).alias("_t"))
+        .withColumn("_wh", word_hash_array("_t"))
+        .withColumn("n_words", F.size("_wh"))
+        .withColumn("wha", _window_hash_array(F.col("_wh"), window_k))
+        .drop("_t", "_wh")
+    )
+    # posexplode_outer: arrays are never empty (split('',' ') -> ['']), and
+    # plain posexplode triggers InferFiltersFromGenerate, re-inlining the
+    # md5 fold below the projection (no-CSE trap; plan-gated in tests)
+    wins = base.select(
+        "k", "n_words", F.posexplode_outer("wha").alias("pos", "w")
+    ).select("k", "n_words", (F.col("pos") + 1).alias("i"), "w")
+    if materialize:
+        # the positional stream feeds BOTH the doc-frequency aggregate and
+        # the island pass — materialize once (same discipline as
+        # duplicate_spans / ngram_jaccard_pairs)
+        wins = wins.localCheckpoint(eager=True)
+    dup_w = (
+        wins.groupBy("w")
+        .agg(F.count_distinct("k").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("w")
+    )
+    flagged = wins.join(dup_w, "w", "left_semi")
+    rn = F.row_number().over(Window.partitionBy("k").orderBy("i"))
+    spans = (
+        flagged.withColumn("grp", F.col("i") - rn)
+        .groupBy("k", "grp")
+        .agg(
+            F.min("i").alias("span_start"),
+            F.count("*").alias("n_windows"),
+            F.first("n_words").alias("_nw"),
+        )
+    )
+    span_end_words = F.least(
+        F.col("span_start") + F.col("n_windows") + F.lit(window_k - 2),
+        F.col("_nw").cast("long"),
+    )
+    return spans.select(
+        F.col("k").alias(key_col),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("n_windows"),
+        (span_end_words - F.col("span_start") + 1).cast("long").alias("span_len"),
     )
 
 

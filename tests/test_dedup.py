@@ -340,6 +340,143 @@ def test_containment_prefix_matches_bruteforce(spark):
     assert got == want
 
 
+def _py_positional_hashes(text: str, k: int) -> list[int]:
+    """Positional (non-distinct) form of _py_window_hashes: element p is the
+    fold of words p..p+k-1 (0-based)."""
+    P = 2147483647
+    wh = [
+        int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % P
+        for w in text.split(" ")
+    ]
+    n = len(wh)
+    out = []
+    for i in range(max(n - k + 1, 1)):
+        acc = wh[i]
+        for j in range(1, k):
+            acc = (acc * 65599 + wh[min(i + j, n - 1)]) % P
+        out.append(acc)
+    return out
+
+
+def _py_span_extents(rows, k: int, min_docs: int = 2) -> set:
+    """Independent python reference for duplicate_span_extents: flag
+    positions whose window hash occurs in >= min_docs distinct docs, merge
+    consecutive runs, clamp span_len to the doc's word count."""
+    from collections import defaultdict
+
+    pos = {i: _py_positional_hashes(t, k) for i, t in rows}
+    docs_per_hash = defaultdict(set)
+    for i, hs in pos.items():
+        for h in hs:
+            docs_per_hash[h].add(i)
+    out = set()
+    for i, t in rows:
+        n_words = len(t.split(" "))
+        flagged = [
+            p + 1
+            for p, h in enumerate(pos[i])
+            if len(docs_per_hash[h]) >= min_docs
+        ]
+        run_start = prev = None
+        cnt = 0
+        for p in flagged + [None]:
+            if prev is not None and p == prev + 1:
+                cnt += 1
+                prev = p
+                continue
+            if prev is not None:
+                span_len = min(run_start + cnt + k - 2, n_words) - run_start + 1
+                out.add((i, run_start, cnt, span_len))
+            if p is None:
+                break
+            run_start, prev, cnt = p, p, 1
+    return out
+
+
+def _extent_rows(df):
+    return {
+        (r["doc_id"], r["span_start"], r["n_windows"], r["span_len"])
+        for r in df.collect()
+    }
+
+
+def test_span_extents_merges_adjacent_windows(spark):
+    """A shared 8-word block pasted mid-doc must come back as ONE maximal
+    span per doc with word-exact start/len — not 5 anonymous k=4 windows."""
+    block = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    a = "u1 u2 u3 " + block + " u4 u5"     # block at words 4..11
+    b = "v1 " + block + " v2 v3 v4 v5"     # block at words 2..9
+    c = "w1 w2 w3 w4 w5 w6 w7 w8 w9"       # unrelated
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = _extent_rows(
+        D.duplicate_span_extents(df, "doc_id", "text", window_k=4)
+    )
+    want = _py_span_extents([(1, a), (2, b), (3, c)], 4)
+    assert got == want
+    # exactly one span per flagged doc, none for the unrelated doc
+    assert sorted(g[0] for g in got) == [1, 2]
+    # the doc-1 span starts at word 4 and covers exactly the 8-word block:
+    # windows 4..8 (5 windows), span_len = 5 + 4 - 1 = 8
+    assert (1, 4, 5, 8) in got
+    assert (2, 2, 5, 8) in got
+
+
+def test_span_extents_match_python_reference(spark):
+    """Randomized gate incl. within-doc repeats (repeated windows inside one
+    doc must NOT count toward the distinct-doc frequency) and short docs."""
+    import random
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _extent_rows(D.duplicate_span_extents(df, "doc_id", "text", window_k=3))
+    assert got == _py_span_extents(rows, 3)
+
+
+def test_span_extents_hot_span_skew(spark):
+    """One boilerplate block planted in 25% of 80 docs (hot-span skew): the
+    flag side stays one row per distinct window, correctness holds, and the
+    intermediate candidate volume is linear (no pair join exists to blow
+    up). Verified against the python reference."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(50)]
+    hot = "permission is hereby granted free of charge to any person"
+    rows = []
+    for i in range(80):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 24)))
+        text = (hot + " " + body) if i % 4 == 0 else body
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 4
+    got = _extent_rows(D.duplicate_span_extents(df, "doc_id", "text", window_k=k))
+    want = _py_span_extents(rows, k)
+    assert got == want
+    # the hot block produces a span in every planted doc
+    planted = {g[0] for g in got}
+    assert set(range(0, 80, 4)) <= planted
+
+
+def test_span_extents_plan_no_inlined_generate_filter(spark, docs):
+    """Same InferFiltersFromGenerate gate as jaccard: no Filter node may
+    contain the md5 fold (materialize=False so localCheckpoint doesn't
+    truncate the lineage being gated)."""
+    out = D.duplicate_span_extents(
+        docs, "id", "text", window_k=3, materialize=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line and "md5" in line:
+            raise AssertionError(f"inlined generate filter reappeared: {line[:200]}")
+
+
 def test_duplicate_spans_hot_window_skew(spark):
     """A window planted in 50% of docs (boilerplate-grade skew) still
     matches the python reference — the doc-frequency aggregate absorbs the
