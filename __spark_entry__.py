@@ -2263,10 +2263,12 @@ def q_heavy_hitters(spark, sf_dir):
     family next to GK quantiles and HLL distinct; at 100 TB this is the
     bounded-memory way to find dominant tokens/domains without a full
     frequency sort. The sketch's CONTRACT (every item with true frequency
-    ≥ support·n is returned; false positives allowed) is verified in-query
-    by an exact second counting pass — the oracle pins the invariants, and
-    the exact true-frequent count comes from SQL so it is genuinely
-    cross-checked."""
+    STRICTLY GREATER than support·n is returned; false positives allowed —
+    Spark's freqItems guarantees only the strict inequality, so the exact
+    pass must use > too or a word landing exactly on the threshold becomes
+    a latent flake) is verified in-query by an exact second counting pass —
+    the oracle pins the invariants, and the exact true-frequent count comes
+    from SQL so it is genuinely cross-checked."""
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     words = d.select(F.explode_outer(F.split("text", " ")).alias("w"))
     n = words.count()
@@ -2274,7 +2276,7 @@ def q_heavy_hitters(spark, sf_dir):
     exact = (
         words.groupBy("w")
         .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= F.lit(float(HH_SUPPORT)) * F.lit(n))
+        .filter(F.col("c") > F.lit(float(HH_SUPPORT)) * F.lit(n))
     )
     truly_frequent = [r["w"] for r in exact.collect()]
     missed = [w for w in truly_frequent if w not in found]
@@ -2294,7 +2296,7 @@ def _sql_heavy_hitters() -> str:
     n AS (SELECT count(*) AS n FROM w),
     f AS (
       SELECT w.w, count(*) AS c FROM w GROUP BY w.w
-      HAVING count(*) >= {HH_SUPPORT} * (SELECT n FROM n)
+      HAVING count(*) > {HH_SUPPORT} * (SELECT n FROM n)
     )
     SELECT CAST(count(*) AS BIGINT) AS n_true_frequent,
            1 AS all_frequent_found,
@@ -2537,15 +2539,18 @@ def q_sessionized_counts(spark, sf_dir):
 
 SQL_SESSIONIZED_COUNTS = """
     WITH g AS (
-      SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS vd,
+      SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,6)) AS vd,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
+      -- cumsum ordered by the SAME total order as the lag window:
+      -- ts alone leaves tied rows' cumsum order unspecified, so a tied
+      -- peer at a session boundary could land in the previous session
       SELECT user_id, ts, vd,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_id
       FROM g
     )

@@ -70,7 +70,12 @@ def pending_partitions(
     all_parts = spark.range(n_parts).select(F.col("id").cast("int").alias("part_id"))
     prog = read_progress(spark, out_dir)
     if require_current_versions:
-        w = Window.partitionBy("part_id").orderBy(F.col("finished_at").desc())
+        # run_id tiebreak: two markers can share finished_at (coarse clock),
+        # and an unordered "latest" pick would nondeterministically classify
+        # the partition as stale or current
+        w = Window.partitionBy("part_id").orderBy(
+            F.col("finished_at").desc(), F.col("run_id").desc()
+        )
         latest = (
             prog.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
