@@ -48,6 +48,18 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
         ),
         "<PRIVATE_KEY>",
     ),
+    (
+        # JWTs: three base64url segments, the first two starting with the
+        # base64 of '{"' ("eyJ" — header and payload are JSON objects).
+        # Runs BEFORE hex_secret on principle (token-shaped before
+        # charset-shaped), though the mixed-case base64url body could never
+        # have matched the lowercase hex rule anyway.
+        "jwt",
+        re.compile(
+            r"eyJ[A-Za-z0-9_-]+\.eyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+"
+        ),
+        "<JWT>",
+    ),
     # unbounded {40,}: the v1 upper bound {40,64} let 65+-char runs (e.g.
     # 128-hex SHA-512-style tokens) through because \b can't match inside a
     # longer hex run
@@ -66,15 +78,37 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
         "<PHONE>",
     ),
     (
+        # IPv4 dotted quads with VALID octets (0-255) only, guarded against
+        # being part of a longer dotted/word run — "1.2.3.4.5" release tags
+        # and "v1.2.3.4" versions don't scrub, "192.168.0.12" does. The
+        # octet alternation is what keeps 3-digit version components
+        # ("10.456.1.2") out. Disjoint from phone (phone's last group is
+        # exactly 4 digits; octets are <=3 with a no-".<digit>" guard), so
+        # relative order vs phone is immaterial.
+        "ip_address",
+        re.compile(
+            # trailing guard mirrors phone: no word char and no ".<digit>"
+            # continuation (so "1.2.3.4.5" stays) but a bare sentence
+            # period after the quad is fine
+            r"(?<![\w.])"
+            r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+            r"(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}"
+            r"(?!\w|\.\d)"
+        ),
+        "<IP>",
+    ),
+    (
         "toxicity",
         re.compile(r"\b(dammit|crappy|jackass)\b", re.IGNORECASE),
         "<FLAGGED>",
     ),
 ]
 
-# v3: + private_key (PEM frames) and phone (separator-delimited 3-3-4);
-# v2 removed hex_secret's upper bound — any rule-semantics change bumps this
-SCRUB_RULES_VERSION = "scrub-v3"
+# v4: + jwt (eyJ.eyJ.sig base64url triples) and ip_address (valid-octet
+# dotted quads); v3 added private_key (PEM frames) and phone
+# (separator-delimited 3-3-4); v2 removed hex_secret's upper bound — any
+# rule-semantics change bumps this
+SCRUB_RULES_VERSION = "scrub-v4"
 
 
 def _inline(pat: re.Pattern) -> str:
