@@ -73,6 +73,46 @@ def build_dedup_index(
     return exact, bands
 
 
+def write_dedup_index(
+    exact_index: DataFrame,
+    band_index: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 16,
+) -> None:
+    """Persist the incremental-dedup index (build_dedup_index output) as
+    tables BUCKETED by their join keys — digest for the exact table,
+    (band_id, band_key) for the band table — making the docstring promise
+    of build_dedup_index load-bearing: the daily increment-vs-history join
+    reads the index pre-partitioned on the join key, so the 10^12-doc
+    index side never shuffles (plan-gated in tests/test_bucketing.py);
+    only the (much smaller) increment is exchanged into the index's
+    bucketing. sortBy gives sorted buckets, so the sort-merge join also
+    skips the index-side sort. On Iceberg the same layout is the
+    bucket(N, col) partition transform."""
+    (
+        exact_index.write.bucketBy(n_buckets, "digest")
+        .sortBy("digest")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_exact")
+    )
+    (
+        band_index.write.bucketBy(n_buckets, "band_id", "band_key")
+        .sortBy("band_id", "band_key")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+
+
+def read_dedup_index(spark, table_prefix: str) -> tuple[DataFrame, DataFrame]:
+    """Load a bucketed index pair written by write_dedup_index, bucketing
+    metadata intact (spark.table preserves it; a raw parquet-path read
+    would not)."""
+    return (
+        spark.table(f"{table_prefix}_exact"),
+        spark.table(f"{table_prefix}_bands"),
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     exact_index: DataFrame,

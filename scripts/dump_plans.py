@@ -22,6 +22,34 @@ from data_quality_spark.plans.pipeline import score_files  # noqa: E402
 SF = "/root/testdata/sf0.01"
 
 
+def _bucketed_incremental(spark) -> str:
+    """Increment-vs-history probe over a freshly written bucketed index —
+    returns the PRE-RENDERED plan string (broadcast is disabled only while
+    this plan is formatted, so the other sections keep their broadcast
+    joins)."""
+    import data_quality_spark.operators.dedup as D
+
+    for t in ("plansidx_exact", "plansidx_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    docs = generate_files_df(spark, 300, seed=5).select(
+        F.concat_ws("/", "repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    exact, bands = D.build_dedup_index(docs, "doc_id", "text")
+    D.write_dedup_index(exact, bands, "plansidx", n_buckets=8)
+    ex_i, bd_i = D.read_dedup_index(spark, "plansidx")
+    new = generate_files_df(spark, 80, seed=9).select(
+        F.concat_ws("/", "repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return formatted(D.incremental_dedup(new, ex_i, bd_i, "doc_id", "text"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def formatted(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -116,11 +144,29 @@ def main():
             "repetition ratio all ride one pass over the corpus "
             "(gated in test_plans.py).",
         ),
+        (
+            "duplicate_span_extents — maximal spans, gaps-and-islands",
+            qs["duplicate_span_extents"](spark, SF),
+            "Positional window hashes materialized once; doc-frequency "
+            "flags semi-joined back (filtered side broadcastable); ONE "
+            "per-doc Window pass merges adjacent duplicated windows — "
+            "linear end-to-end, no pair join (gated in test_dedup.py).",
+        ),
+        (
+            "incremental_dedup over a BUCKETED index — index side never shuffles",
+            _bucketed_incremental(spark),
+            "Both index FileScans are `Bucketed: true` and reach their "
+            "SortMergeJoins with NO Exchange — only the small increment "
+            "is shuffled into the index's bucketing (digest / "
+            "(band_id, band_key)). This is write_dedup_index's layout "
+            "doing the work (gated in test_bucketing.py).",
+        ),
     ]
     out = ["# PLANS — formatted physical plans of the flagship queries\n"]
     out.append("Generated by `python scripts/dump_plans.py` (sf0.01 inputs).\n")
     for title, df, note in sections:
-        out.append(f"\n## {title}\n\n{note}\n\n```\n{formatted(df).strip()}\n```\n")
+        plan = df if isinstance(df, str) else formatted(df)
+        out.append(f"\n## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("".join(out))
     print("wrote PLANS.md")

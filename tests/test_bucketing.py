@@ -5,8 +5,13 @@ repeated joins on (repo) / (doc key)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
+
+import data_quality_spark.operators.dedup as D
+from data_quality_spark.corpus import generate_files_df
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
@@ -37,3 +42,87 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def _tree_depth(line: str) -> int:
+    """Length of the plan-tree art prefix (spaces, ':', '+', '-')."""
+    return len(re.match(r"^[\s:+*-]*", line).group(0))
+
+
+def _index_side_shuffle_free(plan: str, table: str) -> bool:
+    """Walk the pretty plan tree upward from ``table``'s FileScan: True iff
+    a join node is reached before any Exchange ancestor — i.e. the index
+    side of the join is NOT shuffled."""
+    lines = plan.splitlines()
+    idx = next(
+        i for i, l in enumerate(lines) if "FileScan" in l and f"{table}[" in l
+    )
+    d = _tree_depth(lines[idx])
+    for i in range(idx - 1, -1, -1):
+        di = _tree_depth(lines[i])
+        if di < d:  # strict ancestor (siblings sit at >= depth)
+            if any(
+                j in lines[i]
+                for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+            ):
+                return True
+            if "Exchange" in lines[i]:
+                return False
+            d = di
+    return True
+
+
+def _corpus_docs(spark, n_files: int, seed: int):
+    return generate_files_df(spark, n_files=n_files, seed=seed).select(
+        F.concat_ws("/", "repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+
+
+def test_incremental_dedup_index_side_never_shuffles(spark):
+    """The load-bearing form of build_dedup_index's bucketing promise: the
+    increment-vs-history joins read the index tables pre-partitioned on
+    their join keys (digest / (band_id, band_key)), so the 10^12-row index
+    side has NO Exchange — only the small increment is shuffled into the
+    index's bucketing. Negative control: the same index saved unbucketed
+    puts an Exchange on the index side."""
+    for t in ("dqi_exact", "dqi_bands", "dqi_flat_exact", "dqi_flat_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    hist = _corpus_docs(spark, 300, seed=5)
+    exact, bands = D.build_dedup_index(hist, "doc_id", "text")
+    D.write_dedup_index(exact, bands, "dqi", n_buckets=8)
+    # negative control: identical data, no bucketing metadata
+    exact.write.mode("overwrite").saveAsTable("dqi_flat_exact")
+    bands.write.mode("overwrite").saveAsTable("dqi_flat_bands")
+
+    new = _corpus_docs(spark, 80, seed=9)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ex_i, bd_i = D.read_dedup_index(spark, "dqi")
+        out = D.incremental_dedup(new, ex_i, bd_i, "doc_id", "text")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2, plan[:1500]
+        assert _index_side_shuffle_free(plan, "dqi_exact"), plan[:3000]
+        assert _index_side_shuffle_free(plan, "dqi_bands"), plan[:3000]
+
+        flat = D.incremental_dedup(
+            new,
+            spark.table("dqi_flat_exact"),
+            spark.table("dqi_flat_bands"),
+            "doc_id",
+            "text",
+        )
+        fplan = flat._jdf.queryExecution().executedPlan().toString()
+        assert not _index_side_shuffle_free(fplan, "dqi_flat_exact")
+        assert not _index_side_shuffle_free(fplan, "dqi_flat_bands")
+
+        # same answers either way — bucketing is a layout, not a semantic
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(map(tuple, flat.collect()))
+        assert a == b and len(a) == 80
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        for t in ("dqi_exact", "dqi_bands", "dqi_flat_exact", "dqi_flat_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
