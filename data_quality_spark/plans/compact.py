@@ -32,7 +32,40 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.io import iceberg_available
 from .checkpoint import data_path
+
+
+def iceberg_rewrite_sql(
+    table: str, target_file_size_bytes: int = 512 * 1024 * 1024
+) -> str:
+    """The Iceberg form of this whole module: one snapshot-atomic
+    ``rewrite_data_files`` procedure call. Stage/verify/swap/trash-repair
+    all disappear — the rewrite commits a new snapshot or nothing, and
+    concurrent readers keep the old snapshot until the commit lands."""
+    catalog = table.split(".", 1)[0]
+    return (
+        f"CALL {catalog}.system.rewrite_data_files("
+        f"table => '{table}', "
+        f"options => map('target-file-size-bytes', '{target_file_size_bytes}'))"
+    )
+
+
+def compact(spark: SparkSession, location: str, **kwargs) -> list[int]:
+    """Format-dispatching compaction seam (same discipline as
+    sources/io.read_files_table / write_scored): an Iceberg table name goes
+    through ``rewrite_data_files`` (the table format's own transactional
+    rewrite — per-partition ids are not reported because the snapshot
+    commit replaces the whole notion of a partial swap); a parquet
+    directory goes through the stage-verify-swap protocol below, which is
+    deliberately parquet-specific (directory renames are its commit
+    primitive). ARCHITECTURE.md §8 documents the mapping."""
+    if "/" not in location and iceberg_available(spark):
+        tfs = kwargs.get("target_file_size_bytes", 512 * 1024 * 1024)
+        spark.sql(iceberg_rewrite_sql(location, tfs))
+        return []
+    kwargs.pop("target_file_size_bytes", None)
+    return compact_partitions(spark, location, **kwargs)
 
 
 def partition_file_stats(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -10,11 +10,32 @@ from pathlib import Path
 
 from data_quality_spark.plans import checkpoint as CP
 from data_quality_spark.plans.compact import (
+    compact,
     compact_partitions,
+    iceberg_rewrite_sql,
     partition_file_stats,
     recover_crashed_swap,
     staging_path,
 )
+
+
+def test_compact_seam_dispatch(spark, files_df, tmp_path):
+    """The format-dispatching seam: a path routes to the parquet
+    stage-verify-swap protocol (this sandbox has no Iceberg runtime, so a
+    table name would too — the probe gates it); the Iceberg branch's
+    procedure call is pinned by its SQL shape."""
+    out = str(tmp_path / "seam")
+    CP.run_pipeline(
+        spark, files_df, out, n_parts=4, chunk_size=1,
+        salt_factor=8, salt_threshold=5,
+    )
+    done = compact(spark, out, min_files=4, target_rows_per_file=10_000)
+    assert len(done) >= 1  # took the parquet protocol path
+    sql = iceberg_rewrite_sql("lake.db.scored", 256 * 1024 * 1024)
+    assert sql == (
+        "CALL lake.system.rewrite_data_files(table => 'lake.db.scored', "
+        "options => map('target-file-size-bytes', '268435456'))"
+    )
 
 
 def _canon(pdf):
