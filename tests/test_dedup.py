@@ -340,6 +340,66 @@ def test_containment_prefix_matches_bruteforce(spark):
     assert got == want
 
 
+def _py_minhash_bands(text: str, k: int, num_hashes: int, n_bands: int) -> set:
+    """Independent python reference for the (band_id, band_key) buckets,
+    mirroring minhash_signature/minhash_bands (a_i = 2i+1, b_i = 7919(i+1),
+    same constants the DuckDB oracle pins)."""
+    P = 2147483647
+    sh = _py_window_hashes(text, k)
+    sig = [
+        min((s * (2 * i + 1) + 7919 * (i + 1)) % P for s in sh)
+        for i in range(num_hashes)
+    ]
+    rpb = num_hashes // n_bands
+    return {
+        (b, "_".join(str(sig[b * rpb + r]) for r in range(rpb)))
+        for b in range(n_bands)
+    }
+
+
+def test_minhash_hot_band_skew_bounded(spark):
+    """Hot-band skew: 25% of docs are near-identical template clones (same
+    30-word template + a unique tail), so one band bucket holds ~20 docs.
+    The band join must emit EXACTLY the reference band-collision pairs —
+    quadratic only within the true cluster (those pairs genuinely exist),
+    never multiplied across the 4 bands (distinct) and never joined onto
+    unrelated docs. Documented candidate bound: C(m,2) within-cluster pairs
+    plus reference-verified noise collisions."""
+    import random
+
+    rng = random.Random(53)
+    vocab = [f"z{i}" for i in range(60)]
+    template = " ".join(f"tmpl{i}" for i in range(30))
+    rows = []
+    for i in range(80):
+        if i % 4 == 0:
+            rows.append((i, template + f" tail{i}"))
+        else:
+            rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 25))))
+            )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"])
+        for r in D.minhash_candidates(
+            df, "doc_id", "text", num_hashes=16, n_bands=4, shingle_k=3
+        ).collect()
+    }
+    bands = {i: _py_minhash_bands(t, 3, 16, 4) for i, t in rows}
+    want = {
+        (a, b)
+        for a in bands
+        for b in bands
+        if a < b and bands[a] & bands[b]
+    }
+    assert got == want
+    m = 20  # cluster size
+    assert len(got) <= m * (m - 1) // 2 + 10, len(got)
+    # the cluster is actually recalled (templates share at least one band)
+    cluster_pairs = {p for p in got if p[0] % 4 == 0 and p[1] % 4 == 0}
+    assert len(cluster_pairs) >= m * (m - 1) // 2 * 0.9
+
+
 def _py_positional_hashes(text: str, k: int) -> list[int]:
     """Positional (non-distinct) form of _py_window_hashes: element p is the
     fold of words p..p+k-1 (0-based)."""
