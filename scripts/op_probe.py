@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Per-op warm-median probe — the quiet-host protocol from BENCH.md.
+
+One session, one discarded cold run per query, then --runs warm runs;
+reports cold / warm list / warm median / warm best as one JSON line.
+Refuses to start when the 1-min load average exceeds 2 (host bursts hit
+random queries 3-10x; only sequence-start quietness is meaningful —
+mid-sequence readings include our own decaying run). --force overrides.
+
+Usage: python scripts/op_probe.py events_count_windows --runs 5 --cpus 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    load = os.getloadavg()[0]
+    if load > 2 and not args.force:
+        sys.exit(f"host busy (load {load:.2f} > 2); rerun when quiet or --force")
+
+    import __spark_entry__ as E  # noqa: E402
+    from data_quality_spark.session import get_spark  # noqa: E402
+    from pyspark.sql import functions as F  # noqa: E402
+
+    spark = get_spark("op-probe", cpus=args.cpus)
+    spark.range(1000).select(F.sum("id")).collect()  # JVM warmup
+
+    qmap = E.queries()
+    out: dict[str, dict] = {}
+    for name in args.queries:
+        times = []
+        for _ in range(args.runs + 1):
+            t0 = time.time()
+            df = qmap[name](spark, args.sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times.append(round(time.time() - t0, 3))
+        cold, warm = times[0], times[1:]
+        out[name] = {
+            "cold": cold,
+            "warm": warm,
+            "warm_median": round(statistics.median(warm), 3),
+            "warm_best": min(warm),
+        }
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "sf_dir": args.sf_dir,
+                "load_avg_start": round(load, 2),
+                "queries": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

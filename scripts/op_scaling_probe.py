@@ -1,0 +1,250 @@
+#!/usr/bin/env python
+"""Per-op N-vs-4N scaling probe for the heavy dedup operators — the
+minutes-scale-legs protocol from BENCH.md / BASELINE.md.
+
+Why replicas are word-disjoint: naively replicating documents R times
+multiplies every near-dup cluster's PAIR count by R² (quadratic output,
+which would measure pair-materialization growth, not scan/shuffle
+scaling). Prefixing every word with the replica id keeps replicas
+mutually non-similar, so output grows linearly (R× the original pairs)
+while input scan/shuffle/agg work grows R× — the shape a bigger corpus
+actually has. The blocking group ("source") is also made replica-local.
+
+Each leg runs in a SUBPROCESS with a fresh JVM (no codegen-cache leakage
+between cluster sizes); both legs read the same pre-built parquet.
+Stage timings are min-of---runs; efficiency = t_N / (4 * t_4N).
+
+Usage:
+  python scripts/op_scaling_probe.py --op jaccard --n 4 --replicas 8
+  python scripts/op_scaling_probe.py --op clusters --n 4 --replicas 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def corpus_path(replicas: int) -> str:
+    return f"/tmp/opscale_docs_x{replicas}"
+
+
+def build_corpus(replicas: int) -> None:
+    """Expand sf0.1 documents R× with word-disjoint replicas (see module
+    docstring); one-time, shared by both legs."""
+    path = corpus_path(replicas)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from data_quality_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("opscale-build", cpus=16)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    reps = spark.range(replicas).select(F.col("id").alias("r"))
+    (
+        d.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * replicas + F.col("r")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(F.col("r").cast("string"), F.lit("_"), w),
+                ),
+                " ",
+            ).alias("text"),
+            F.concat_ws("_", "source", F.col("r").cast("string")).alias("source"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark.stop()
+
+
+def run_leg(op: str, cpus: int, replicas: int, runs: int) -> dict:
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--leg", "--op", op, "--cpus", str(cpus),
+        "--replicas", str(replicas), "--runs", str(runs),
+    ]
+    # PIN to exactly `cpus` host cores (same rule as scaling_bench.py):
+    # unpinned, a local[N] JVM quietly uses ~2N host cores (GC, shuffle,
+    # codegen threads), compressing the N-vs-4N ratio and understating
+    # efficiency by ~2x
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, check=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
+    from data_quality_spark.session import get_spark
+    import data_quality_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    spark = get_spark(f"opscale-{op}-{cpus}", cpus=cpus)
+    spark.range(1000).select(F.sum("id")).collect()
+    docs = spark.read.parquet(corpus_path(replicas))
+
+    def timed(build):
+        """min over `runs` of building + fully materializing the frame."""
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            df = build()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 2)
+
+    stages: dict[str, float] = {}
+    if op == "jaccard":
+        # stage 1: md5 word-hash fold + shingle sets + localCheckpoint
+        def fold():
+            return D.hashed_shingle_sets(docs, "doc_id", "text", "source", 3)
+
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            sh = fold().localCheckpoint(eager=True)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        stages["fold_checkpoint"] = round(best, 2)
+        # stage 2: prefix-filter candidate join (df-rank + self-join) over
+        # the materialized shingle frame
+        stages["candidates"] = timed(
+            lambda: D._prefix_candidates_from(sh, True, 0.5)
+        )
+        # stage 3: exact verify join over materialized candidates
+        cand = D._prefix_candidates_from(sh, True, 0.5).localCheckpoint(
+            eager=True
+        )
+        a_side = sh.drop("g").select(
+            F.col("k").alias("a"), F.col("sh").alias("sha"), F.col("sz").alias("sza")
+        )
+        b_side = sh.drop("g").select(
+            F.col("k").alias("b"), F.col("sh").alias("shb"), F.col("sz").alias("szb")
+        )
+
+        def verify():
+            j = (
+                cand.join(a_side, "a")
+                .join(b_side, "b")
+                .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+            )
+            return j.select(
+                "a", "b",
+                (
+                    F.col("inter").cast("double")
+                    / F.greatest(
+                        F.col("sza") + F.col("szb") - F.col("inter"), F.lit(1)
+                    ).cast("double")
+                ).alias("jaccard"),
+            ).filter(F.col("jaccard") >= 0.5)
+
+        stages["verify"] = timed(verify)
+        # end-to-end (its own internal localCheckpoint included)
+        stages["total"] = timed(
+            lambda: D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", group_col="source",
+                shingle_k=3, threshold=0.5, method="prefix",
+            )
+        )
+    elif op == "clusters":
+        key_df = docs.select("doc_id")
+        # stage 1: signatures + band rows (narrow fold, one shuffle-free pass)
+        stages["signature_bands"] = timed(
+            lambda: D.minhash_bands(
+                D.minhash_signature(docs, "text", 16, 3), "doc_id", 16, 4
+            )
+        )
+        # stage 2: LSH band self-join pairs, end-to-end from the corpus
+        stages["pairs"] = timed(
+            lambda: D.minhash_candidates(docs, "doc_id", "text", 16, 4, 3)
+        )
+        # stage 3: pointer-doubling CC over materialized pairs (wall time —
+        # includes its per-round convergence collects by design)
+        pairs = (
+            D.minhash_candidates(docs, "doc_id", "text", 16, 4, 3)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            D.connected_components(pairs, key_df, "doc_id").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        stages["cc"] = round(best, 2)
+        # end-to-end: pairs -> CC -> labels
+        def total():
+            p = D.minhash_candidates(docs, "doc_id", "text", 16, 4, 3).select(
+                "a", "b"
+            )
+            return D.connected_components(p, key_df, "doc_id")
+
+        stages["total"] = timed(total)
+    else:
+        raise SystemExit(f"unknown op {op}")
+
+    print(json.dumps({"cpus": cpus, "stages": stages}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", required=True, choices=["jaccard", "clusters"])
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--replicas", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--leg", action="store_true")
+    ap.add_argument("--cpus", type=int, default=4)
+    args = ap.parse_args()
+
+    if args.leg:
+        leg_main(args.op, args.cpus, args.replicas, args.runs)
+        return
+
+    load = os.getloadavg()[0]
+    if load > 2 and not args.force:
+        sys.exit(f"host busy (load {load:.2f} > 2); rerun when quiet or --force")
+    build_corpus(args.replicas)
+    n = run_leg(args.op, args.n, args.replicas, args.runs)
+    n4 = run_leg(args.op, args.n * 4, args.replicas, args.runs)
+    effs = {
+        s: round(n["stages"][s] / (4 * n4["stages"][s]), 3)
+        for s in n["stages"]
+    }
+    print(
+        json.dumps(
+            {
+                "probe": "op_scaling",
+                "op": args.op,
+                "replicas": args.replicas,
+                "runs": args.runs,
+                "load_avg_start": round(load, 2),
+                "n": n,
+                "n4": n4,
+                "eff": effs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
