@@ -331,6 +331,52 @@ SQL_DOC_QUALITY = f"""
 """
 
 
+def q_quality_auc(spark, sf_dir):
+    """Estimator evaluation: AUC of the heuristic quality score at
+    separating English docs (label lang='en') — the Mann-Whitney rank-sum
+    form with mid-rank tie correction, the standard closed-form AUC.
+
+    100 TB shape: corpus-scale work is ONE map-side-combinable
+    groupBy(score) aggregate; the ranking window then runs over the
+    DISTINCT-SCORE dictionary (bounded by 10^6+1 rows once scores are
+    rounded to 6 dp on [0,1]), never over corpus rows — a single-partition
+    window over a bounded dictionary, not a global sort of the corpus.
+    Float-exactness: mid-ranks are integers or half-integers (dyadic), so
+    the rank-sum is exact in doubles regardless of partition association —
+    the exact-sum rule holds without DECIMAL."""
+    from data_quality_spark.operators.estimator import score_auc
+
+    scored = q_doc_quality(spark, sf_dir).select("doc_id", "qscore")
+    lab = _read(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return score_auc(scored.join(lab, "doc_id"), "qscore", "y")
+
+
+def _sql_quality_auc() -> str:
+    return f"""
+    WITH q AS ({SQL_DOC_QUALITY}),
+    j AS (
+      SELECT q.doc_id, q.qscore, CAST(d.lang = 'en' AS INTEGER) AS y
+      FROM q JOIN documents d USING (doc_id)
+    ), g AS (
+      SELECT qscore, count(*) AS n, sum(y) AS np FROM j GROUP BY qscore
+    ), r AS (
+      SELECT qscore, n, np,
+             coalesce(sum(n) OVER (ORDER BY qscore
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+               + (n + 1) / 2.0 AS midrank
+      FROM g
+    )
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(n - np) AS BIGINT) AS n_neg,
+           round((sum(np * midrank) - sum(np) * (sum(np) + 1) / 2.0)
+                 / (sum(np) * sum(n - np)), 6) AS auc
+    FROM r
+    """
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 
@@ -2679,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbolic_sequences": q_symbolic_sequences,
         # -- new in round 4 --
         "duplicate_span_extents": q_duplicate_span_extents,
+        "quality_auc": q_quality_auc,
         # -- driver-green in r3 --
         "agreement_score": q_agreement_score,
         "agreement_buckets": q_agreement_buckets,
@@ -2760,6 +2807,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters(),
         "duplicate_spans": _sql_duplicate_spans(),
         "duplicate_span_extents": _sql_duplicate_span_extents(),
+        "quality_auc": _sql_quality_auc(),
         "dedup_containment": _sql_dedup_containment(),
         "dedup_apply": _sql_dedup_apply(),
         "code_markers": _sql_code_markers(),

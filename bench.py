@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "agreement_buckets",
     "doc_quality",
     "threshold_sweep",
+    "quality_auc",
     "doc_repetition",
     "code_markers",
     "doc_fingerprint",

@@ -63,3 +63,45 @@ def evaluate_estimator(model, scored: DataFrame) -> dict:
     tp, fp, fn = agg["tp"], agg["fp"], agg["fn"]
     f1 = 2 * tp / max(2 * tp + fp + fn, 1)
     return {"f1": f1, "tp": tp, "fp": fp, "fn": fn, "n": agg["n"]}
+
+
+def score_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """AUC of ``score_col`` ranking ``label_col`` (0/1) — Mann-Whitney
+    rank-sum with mid-rank tie correction. Returns one row
+    (n_pos, n_neg, auc).
+
+    100 TB shape: the corpus-scale work is one map-side-combinable
+    groupBy(score) aggregate; the ranking window then runs over the
+    DISTINCT-SCORE dictionary (bounded once scores are rounded — 10^6+1
+    rows at 6 dp on [0,1]), never over corpus rows. Mid-ranks are dyadic
+    (k or k+1/2), so the rank-sum is exact in doubles regardless of
+    partition association."""
+    from pyspark.sql import Window
+
+    g = (
+        df.select(
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("np"))
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn(
+        "midrank",
+        F.coalesce(F.sum("n").over(w), F.lit(0)) + (F.col("n") + 1) / 2.0,
+    )
+    agg = g.agg(
+        F.sum("np").alias("pos"),
+        F.sum(F.col("n") - F.col("np")).alias("neg"),
+        F.sum(F.col("np") * F.col("midrank")).alias("rs"),
+    )
+    return agg.select(
+        F.col("pos").cast("long").alias("n_pos"),
+        F.col("neg").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rs") - F.col("pos") * (F.col("pos") + 1) / 2.0)
+            / (F.col("pos") * F.col("neg")),
+            6,
+        ).alias("auc"),
+    )

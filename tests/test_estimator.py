@@ -22,3 +22,36 @@ def test_learned_estimator_recovers_rule_labels(spark):
     test = score_files(generate_files_df(spark, 400, seed=22))
     m_test = evaluate_estimator(model, test)
     assert m_test["f1"] >= 0.9, m_test
+
+
+def test_score_auc_matches_pairwise_reference(spark):
+    """score_auc's rank-sum form must equal the O(n^2) pairwise definition
+    (P[s_pos > s_neg] + 0.5 P[tie]) on random data WITH ties — the
+    semantic contract checked independently of the SQL oracle, which
+    mirrors the same rank-sum arithmetic."""
+    import random
+
+    from data_quality_spark.operators.estimator import score_auc
+
+    rng = random.Random(17)
+    rows = [
+        (i, round(rng.choice([0.1, 0.3, 0.3, 0.5, 0.7, 0.7, 0.9]), 6),
+         rng.random() < 0.4)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, s double, y boolean")
+    got = score_auc(df, "s", "y").collect()[0]
+    pos = [s for _, s, y in rows if y]
+    neg = [s for _, s, y in rows if not y]
+    wins = sum(1.0 for p in pos for q in neg if p > q)
+    ties = sum(0.5 for p in pos for q in neg if p == q)
+    want = (wins + ties) / (len(pos) * len(neg))
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - round(want, 6)) <= 1e-6
+
+    # degenerate sanity: perfectly separating score -> AUC 1.0
+    sep = spark.createDataFrame(
+        [(i, float(i >= 50), i >= 50) for i in range(100)],
+        "id long, s double, y boolean",
+    )
+    assert score_auc(sep, "s", "y").collect()[0]["auc"] == 1.0
