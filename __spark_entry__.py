@@ -377,6 +377,140 @@ def _sql_quality_auc() -> str:
     """
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/test contamination check (operators/corpus_clean.split_leakage):
+    deterministic row split on doc_id, then the held-out split probed
+    against a dedup index built from the train split — exact digest hits
+    and LSH band collisions, one summary row. The increment-vs-history
+    machinery applied to the leakage question every eval pipeline must
+    answer."""
+    from data_quality_spark.operators.corpus_clean import split_leakage
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = SP.with_row_split(d, "doc_id")
+    return split_leakage(
+        sp, "doc_id", "text", "split",
+        num_hashes=MINHASH_NUM, n_bands=MINHASH_BANDS, shingle_k=MINHASH_K,
+    )
+
+
+def _sql_split_leakage() -> str:
+    k = MINHASH_K
+    combine = _sql_rolling_combine(k)
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> "
+        f"((s * {2 * i + 1} + {7919 * (i + 1)}) % 2147483647))) AS s{i}"
+        for i in range(MINHASH_NUM)
+    )
+    rows_per_band = MINHASH_NUM // MINHASH_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '_' || ".join(
+            f"s{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + " AS band_key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH split AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 20
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ), dg AS (
+      SELECT d.doc_id, s.split, md5(d.text) AS digest
+      FROM documents d JOIN split s USING (doc_id)
+    ), w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(ws, x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
+      FROM w
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(wh) - {k} + 1, 1) + 1),
+               i -> {combine})) AS sh
+      FROM h
+    ), sig AS (
+      SELECT doc_id, {sigs} FROM sh
+    ), bands AS (
+      {band_rows}
+    ), exact_leak AS (
+      SELECT DISTINCT t.doc_id FROM dg t
+      WHERE t.split = 'test'
+        AND t.digest IN (SELECT digest FROM dg WHERE split = 'train')
+    ), near_leak AS (
+      SELECT DISTINCT tb.doc_id
+      FROM bands tb
+      JOIN split ts ON ts.doc_id = tb.doc_id AND ts.split = 'test'
+      JOIN bands nb ON nb.band_id = tb.band_id AND nb.band_key = tb.band_key
+      JOIN split tr ON tr.doc_id = nb.doc_id AND tr.split = 'train'
+    )
+    SELECT (SELECT count(*) FROM split WHERE split = 'test') AS n_test,
+           (SELECT count(*) FROM exact_leak) AS n_exact_leak,
+           (SELECT count(*) FROM near_leak) AS n_near_candidate
+    """
+
+
+BPE_N_MERGES = 8
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer fit (operators/bpe.fit_bpe_merges) over the
+    deterministic pipeline corpus: one corpus-scale word-count pass, then
+    dictionary-sized merge rounds (pair-count agg + O(1)-row argmax collect
+    + higher-order-fold rewrite, localCheckpoint per round). The oracle is
+    the single-process greedy reference on the same word counts."""
+    from data_quality_spark.corpus import generate_files_df
+    from data_quality_spark.operators.bpe import fit_bpe_merges
+
+    files = generate_files_df(spark, n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    merges = fit_bpe_merges(files, "content", n_merges=BPE_N_MERGES)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _sql_bpe_merges() -> str:
+    # independent single-process reference (operators/bpe.py_bpe_reference)
+    # over the same deterministic corpus — pinned VALUES oracle, exact ints
+    from collections import Counter
+
+    from data_quality_spark.corpus import generate_files_pdf
+    from data_quality_spark.operators.bpe import py_bpe_reference
+
+    pdf = generate_files_pdf(n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    wc: Counter = Counter()
+    for content in pdf.content:
+        for w in content.split(" "):
+            if w:
+                wc[w] += 1
+    merges = py_bpe_reference(dict(wc), n_merges=BPE_N_MERGES)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = " UNION ALL ".join(
+        f"SELECT {m['rank']} AS rank_, {q(m['left'])} AS left_, "
+        f"{q(m['right'])} AS right_, {q(m['merged'])} AS merged, "
+        f"CAST({m['pair_count']} AS BIGINT) AS pair_count"
+        for m in merges
+    )
+    # rank/left/right are reserved words — quoted aliases at the outer level
+    return (
+        f'SELECT rank_ AS "rank", left_ AS "left", right_ AS "right", '
+        f"merged, pair_count FROM ({rows})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 
@@ -2726,6 +2860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --
         "duplicate_span_extents": q_duplicate_span_extents,
         "quality_auc": q_quality_auc,
+        "split_leakage": q_split_leakage,
+        "bpe_merges": q_bpe_merges,
         # -- driver-green in r3 --
         "agreement_score": q_agreement_score,
         "agreement_buckets": q_agreement_buckets,
@@ -2808,6 +2944,8 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _sql_duplicate_spans(),
         "duplicate_span_extents": _sql_duplicate_span_extents(),
         "quality_auc": _sql_quality_auc(),
+        "split_leakage": _sql_split_leakage(),
+        "bpe_merges": _sql_bpe_merges(),
         "dedup_containment": _sql_dedup_containment(),
         "dedup_apply": _sql_dedup_apply(),
         "code_markers": _sql_code_markers(),

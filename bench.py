@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_apply",
     "dedup_incremental",
+    "split_leakage",
+    "bpe_merges",
     "duplicate_spans",
     "duplicate_span_extents",
     "mix_rebalance",

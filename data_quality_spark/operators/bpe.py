@@ -1,0 +1,160 @@
+"""Distributed BPE merge-rule fitting — tokenizer training as a corpus op.
+
+The classic byte-pair-encoding fit (Sennrich et al. 2016): start from
+characters, repeatedly merge the most frequent adjacent symbol pair,
+weighted by word frequency. Re-expressed for Spark with the right
+100 TB shape:
+
+- The CORPUS-scale work is exactly ONE pass: explode words → map-side-
+  combined ``groupBy(word).count()``. Everything after runs on the WORD
+  DICTIONARY (vocabulary-sized — millions of rows for a 10^12-doc corpus,
+  not corpus-sized), which is the observation that makes on-cluster
+  tokenizer training cheap: the merge loop never touches the corpus again.
+- Each merge round is one dictionary-sized aggregate (adjacent-pair
+  counts weighted by word freq, map-side combined), a 1-row collect of
+  the argmax (the same O(1)-result driver action class as the
+  connected-components convergence sum), and a narrow per-word rewrite
+  of the symbol arrays via a higher-order fold.
+- The dictionary frame is localCheckpoint'ed every round — the iterative-
+  DataFrame-loop discipline (lineage would otherwise grow by one fold per
+  merge, exactly the connected_components failure mode).
+
+Ties break (count desc, left asc, right asc) — deterministic across
+engines and partitionings; the pytest reference implements the identical
+greedy left-to-right non-overlapping merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq) word dictionary — the single corpus-scale pass."""
+    return (
+        df.select(F.explode_outer(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _merge_adjacent(syms, left: str, right: str):
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    symbol pair (left, right) by their concatenation, as a higher-order
+    fold: state = (rewritten array, pending symbol)."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("arr"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        hit = (acc.pend == F.lit(left)) & (s == F.lit(right))
+        return F.struct(
+            F.when(acc.pend.isNull(), acc.arr)
+            .when(hit, F.concat(acc.arr, F.array(F.lit(left + right))))
+            .otherwise(F.concat(acc.arr, F.array(acc.pend)))
+            .alias("arr"),
+            F.when(acc.pend.isNull(), s)
+            .when(hit, F.lit(None).cast("string"))
+            .otherwise(s)
+            .alias("pend"),
+        )
+
+    return F.aggregate(
+        syms,
+        init,
+        step,
+        lambda acc: F.when(acc.pend.isNull(), acc.arr).otherwise(
+            F.concat(acc.arr, F.array(acc.pend))
+        ),
+    )
+
+
+def fit_bpe_merges(
+    df: DataFrame, text_col: str, n_merges: int = 8
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merge rules; returns
+    [{rank, left, right, merged, pair_count}, ...] (driver-sized — the
+    model, not data). Stops early if no adjacent pair remains."""
+    dic = (
+        word_freqs(df, text_col)
+        .select("w", "freq", F.split("w", "").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        n = F.size("syms")
+        pair_structs = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(1)),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("a"),
+                    F.element_at(F.col("syms"), i + F.lit(1)).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (
+            dic.select("freq", F.explode_outer(pair_structs).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append(
+            {
+                "rank": rank,
+                "left": a,
+                "right": b,
+                "merged": a + b,
+                "pair_count": int(cnt),
+            }
+        )
+        dic = dic.withColumn(
+            "syms", _merge_adjacent(F.col("syms"), a, b)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def py_bpe_reference(word_counts: dict[str, int], n_merges: int = 8) -> list[dict]:
+    """Single-process reference (same greedy semantics) — the oracle core."""
+    from collections import Counter
+
+    dic = {w: (list(w), c) for w, c in word_counts.items() if len(w) >= 1}
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for syms, c in dic.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(
+            {"rank": rank, "left": a, "right": b, "merged": a + b,
+             "pair_count": int(cnt)}
+        )
+        for w, (syms, c) in dic.items():
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == a and s == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            dic[w] = (out, c)
+    return merges

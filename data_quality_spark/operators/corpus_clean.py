@@ -116,3 +116,44 @@ def strip_boilerplate_lines(
         (F.size("ls") - F.size("kept")).cast("bigint").alias("n_boiler"),
         F.array_join("kept", delim).alias("cleaned"),
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    split_col: str,
+    test_value: str = "test",
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Train/test contamination check: how much of the held-out split
+    already sits in the training split, exactly or nearly. One summary row
+    (n_test, n_exact_leak, n_near_candidate).
+
+    Composition, not new machinery: the TRAIN side becomes a dedup index
+    (build_dedup_index — digest set + LSH band buckets) and the TEST side
+    is probed with incremental_dedup, the same increment-vs-history path a
+    daily ingest uses. 100 TB shape therefore inherits from those: the
+    train corpus is distilled to vocabulary-sized index tables (bucketed
+    in production via write_dedup_index), the probe is a left join +
+    map-side max per test doc, and the final aggregate is one row. The
+    near flag is LSH-candidate-level (recall-oriented, like any band
+    collision — verify with a pair op if the count matters more than the
+    alarm)."""
+    from .dedup import build_dedup_index, incremental_dedup
+
+    train = df.filter(F.col(split_col) != test_value)
+    test = df.filter(F.col(split_col) == test_value)
+    ex, bd = build_dedup_index(
+        train, key_col, text_col, num_hashes, n_bands, shingle_k
+    )
+    flags = incremental_dedup(
+        test, ex, bd, key_col, text_col, num_hashes, n_bands, shingle_k
+    )
+    return flags.agg(
+        F.count("*").alias("n_test"),
+        F.sum("exact_dup").cast("long").alias("n_exact_leak"),
+        F.sum("near_candidate").cast("long").alias("n_near_candidate"),
+    )

@@ -1,0 +1,43 @@
+"""BPE merge fitting: distributed fold vs the single-process greedy
+reference, plus the textbook example."""
+
+from __future__ import annotations
+
+from data_quality_spark.operators.bpe import fit_bpe_merges, py_bpe_reference
+
+
+def test_bpe_textbook_example(spark):
+    """Sennrich-style toy: 'low' x5, 'lower' x2 — first merges follow pair
+    frequency with deterministic (count desc, left, right) tie-breaks."""
+    text = " ".join(["low"] * 5 + ["lower"] * 2)
+    df = spark.createDataFrame([(text,)], "content string")
+    got = fit_bpe_merges(df, "content", n_merges=3)
+    want = py_bpe_reference({"low": 5, "lower": 2}, n_merges=3)
+    assert got == want
+    # 'lo' (7) wins round 1, then 'low' (7)
+    assert (got[0]["left"], got[0]["right"], got[0]["pair_count"]) == ("l", "o", 7)
+    assert (got[1]["left"], got[1]["right"]) == ("lo", "w")
+
+
+def test_bpe_matches_reference_on_random_corpus(spark):
+    """Randomized gate incl. repeated-char words (overlapping-pair greedy
+    semantics) and ties."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(71)
+    vocab = ["aaa", "abab", "banana", "xy", "x", "zzzz", "mississippi"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    wc: Counter = Counter(w for t in texts for w in t.split(" ") if w)
+    got = fit_bpe_merges(df, "content", n_merges=6)
+    assert got == py_bpe_reference(dict(wc), n_merges=6)
+
+
+def test_bpe_stops_when_no_pairs_left(spark):
+    df = spark.createDataFrame([("a b c",)], "content string")
+    got = fit_bpe_merges(df, "content", n_merges=5)
+    assert got == []  # single-char words: no adjacent pairs, early stop

@@ -210,3 +210,28 @@ def test_contamination_plan_broadcasts_bench(spark):
     # the only join is the broadcast gram join; the doc flag is a
     # map-side-combinable max — no sort-merge join, no sort anywhere
     assert "SortMergeJoin" not in plan and "Sort " not in plan
+
+
+def test_split_leakage_flags_planted_contamination(spark):
+    """Identical text planted on both sides of the split must show up as
+    exact leakage; a near-identical (one word changed) pair as a near
+    candidate; disjoint docs as neither."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.corpus_clean import split_leakage
+
+    shared = " ".join(f"tok{i}" for i in range(40))
+    near = shared.replace("tok7", "náhrada")
+    rows = [
+        (1, shared, "train"), (2, shared, "test"),          # exact leak
+        (3, near, "test"),                                  # near candidate
+        (4, " ".join(f"u{i}" for i in range(30)), "train"),
+        (5, " ".join(f"v{i}" for i in range(30)), "test"),  # clean test doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = split_leakage(df, "doc_id", "text", "split").collect()[0]
+    assert got["n_test"] == 3
+    assert got["n_exact_leak"] == 1
+    # exact dup is necessarily also an LSH candidate; the near-identical
+    # doc shares bands with overwhelming probability at 16/4
+    assert got["n_near_candidate"] >= 2
