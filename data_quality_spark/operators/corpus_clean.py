@@ -157,3 +157,74 @@ def split_leakage(
         F.sum("exact_dup").cast("long").alias("n_exact_leak"),
         F.sum("near_candidate").cast("long").alias("n_near_candidate"),
     )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    delim: str = "\n",
+    pos_base: int = 100_000,
+) -> DataFrame:
+    """Corpus-GLOBAL duplicated-line removal (the CCNet/RefinedWeb
+    paragraph-dedup step): every line keeps exactly its FIRST occurrence
+    in the corpus — ordered by (doc id, position) — and every later
+    occurrence is dropped, across documents and groups alike (the global
+    complement of per-group ``strip_boilerplate_lines``).
+
+    100 TB shape: the first-occurrence winner per line is an ARG-MIN
+    AGGREGATE (min of an encoded ``doc_id * pos_base + pos`` key), which
+    combines map-side — NOT a ``row_number`` window, whose per-key sort
+    would serialize every occurrence of a hot line (a license header
+    repeated in 10^8 docs) through one partition's sort. The winner table
+    (one row per distinct line) then equi-joins back to the exploded
+    occurrences; hot probe keys meet a 1-row build side, the classic
+    AQE-splittable skew-join shape. Reassembly is a per-doc
+    map-side-combinable collect + array_sort — no global ordering.
+
+    ``pos_base`` must exceed the max per-doc line count so the encoded
+    key orders exactly like (doc_id, pos).
+
+    Reference scope note: the reference has no corpus layer
+    (/root/reference/runme.py is per-row); this is a target-side
+    training-data-pipeline op per the task brief.
+    """
+    lines = df.select(
+        F.col(key_col).alias("k"),
+        F.posexplode_outer(F.split(F.col(text_col), delim)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("okey", F.col("k") * pos_base + F.col("pos"))
+    first = lines.groupBy("line").agg(F.min("okey").alias("first_key"))
+    kept = (
+        lines.join(first, "line")
+        .filter(F.col("okey") == F.col("first_key"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s.line,
+                ),
+                delim,
+            ).alias("cleaned"),
+        )
+    )
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.size(F.split(F.col(text_col), delim)).cast("bigint").alias(
+            "n_lines"
+        ),
+    )
+    return (
+        base.join(kept, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )

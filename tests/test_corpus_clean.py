@@ -235,3 +235,47 @@ def test_split_leakage_flags_planted_contamination(spark):
     # exact dup is necessarily also an LSH candidate; the near-identical
     # doc shares bands with overwhelming probability at 16/4
     assert got["n_near_candidate"] >= 2
+
+
+def test_dedup_lines_global_first_occurrence(spark):
+    from data_quality_spark.operators.corpus_clean import dedup_lines_global
+
+    rows = [
+        (1, "dup\nalpha\ndup"),      # intra-doc repeat: 2nd "dup" dropped
+        (2, "dup\nbeta"),            # cross-doc repeat: "dup" dropped
+        (3, "gamma\nalpha"),         # "alpha" first seen in doc 1 → dropped
+        (4, "dup"),                  # everything dropped → cleaned ""
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines_global(df, "doc_id", "text").collect()
+    }
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["cleaned"] == "dup\nalpha"  # order preserved
+    assert out[2]["cleaned"] == "beta"
+    assert out[3]["cleaned"] == "gamma"
+    assert out[4]["n_kept"] == 0 and out[4]["cleaned"] == ""
+    # global invariant: every distinct line survives exactly once
+    kept_lines = [
+        ln
+        for r in out.values()
+        if r["cleaned"]
+        for ln in r["cleaned"].split("\n")
+    ]
+    assert sorted(kept_lines) == sorted(set(kept_lines))
+    assert set(kept_lines) == {"dup", "alpha", "beta", "gamma"}
+
+
+def test_dedup_lines_global_winner_is_argmin_not_window(spark):
+    """Plan shape: the first-occurrence winner comes from a partial
+    (map-side) aggregate, not a row_number window sort — a hot line must
+    not serialize through one partition's sort at 10^12 docs."""
+    from data_quality_spark.operators.corpus_clean import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [(i, "hot\nu%d" % i) for i in range(20)], "doc_id bigint, text string"
+    )
+    plan = dedup_lines_global(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan.lower()
+    assert "partial_min" in plan or "partial" in plan.lower()
