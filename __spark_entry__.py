@@ -2891,6 +2891,46 @@ SQL_LINE_DEDUP_GLOBAL = """
 """
 
 
+def q_source_forks(spark, sf_dir):
+    """Repo/source-level fork-mirror detection: distinct content-digest
+    overlap between every source pair + containment (shared / min size).
+    Corpus distilled to DISTINCT (source, digest) before the digest-keyed
+    self-join; ubiquitous digests (> max_groups sources) dropped as
+    boilerplate — they are the quadratic hot keys
+    (operators/dedup.group_digest_overlap)."""
+    d = _read(spark, sf_dir, "documents").select("source", "text")
+    return DD.group_digest_overlap(
+        d, "source", "text", prefix_len=60, max_groups=50
+    )
+
+
+SQL_SOURCE_FORKS = """
+    WITH d AS (
+      SELECT DISTINCT source AS g, md5(substring(text, 1, 60)) AS dig
+      FROM documents
+    ),
+    sizes AS (SELECT g, count(*) AS n_files FROM d GROUP BY g),
+    rare AS (
+      SELECT d.g, d.dig FROM d
+      JOIN (SELECT dig FROM d GROUP BY dig HAVING count(*) <= 50) r
+        USING (dig)
+    ),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM rare a JOIN rare b ON a.dig = b.dig AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT p.group_a, p.group_b, p.shared,
+           CAST(sa.n_files AS BIGINT) AS files_a,
+           CAST(sb.n_files AS BIGINT) AS files_b,
+           round(p.shared / least(sa.n_files, sb.n_files), 6) AS containment
+    FROM pairs p
+    JOIN sizes sa ON p.group_a = sa.g
+    JOIN sizes sb ON p.group_b = sb.g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (round 4): the driver's CORRECTNESS artifact records
     # the FIRST 50 dict entries only. Rounds 1-3 left 18 queries without a
@@ -2924,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "bpe_merges": q_bpe_merges,
         "line_dedup_global": q_line_dedup_global,
+        "source_forks": q_source_forks,
         # -- driver-green in r3 --
         "agreement_score": q_agreement_score,
         "agreement_buckets": q_agreement_buckets,
@@ -3009,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _sql_split_leakage(),
         "bpe_merges": _sql_bpe_merges(),
         "line_dedup_global": SQL_LINE_DEDUP_GLOBAL,
+        "source_forks": SQL_SOURCE_FORKS,
         "dedup_containment": _sql_dedup_containment(),
         "dedup_apply": _sql_dedup_apply(),
         "code_markers": _sql_code_markers(),

@@ -871,3 +871,75 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def group_digest_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    prefix_len: int = 60,
+    max_groups: int = 50,
+) -> DataFrame:
+    """Fork/mirror detection between GROUPS (repos, sources, crawls): for
+    every pair of groups, how many distinct content digests they share,
+    plus containment = shared / min(|A|, |B|) — the repo-level analogue of
+    document near-dup, and the standard signal for dropping forked/mirrored
+    repos from a code corpus before file-level dedup.
+
+    100 TB shape: content never pairs — the corpus is distilled to DISTINCT
+    (group, digest) rows first (map-side combinable), so the self-join runs
+    on a table bounded by total distinct files, keyed by digest, where each
+    digest contributes |groups(digest)|² pair rows. Ubiquitous digests
+    (empty __init__.py, LICENSE files — present in more than ``max_groups``
+    groups) are dropped before pairing: they are boilerplate, not fork
+    evidence, and they are exactly the quadratic hot keys (same move as the
+    prefix filter dropping hot tokens in ngram_jaccard_pairs). Pair counts
+    aggregate map-side on (group_a, group_b) — repo-count-scale output.
+
+    Reference scope note: the reference has no corpus layer
+    (/root/reference/runme.py is per-row); target-side pipeline op.
+    """
+    d = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.md5(F.substring(F.col(text_col), 1, prefix_len)).alias("dig"),
+        )
+        .distinct()
+    )
+    sizes = d.groupBy("g").agg(F.count("*").alias("n_files"))
+    rare = d.join(
+        d.groupBy("dig")
+        .agg(F.count("*").alias("gdf"))
+        .filter(F.col("gdf") <= max_groups)
+        .select("dig"),
+        "dig",
+    )
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "dig")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(
+            F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("g", "group_a"), "group_a")
+        .withColumnRenamed("n_files", "files_a")
+        .join(
+            sizes.withColumnRenamed("g", "group_b").withColumnRenamed(
+                "n_files", "files_b"
+            ),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "shared",
+            F.col("files_a").cast("bigint").alias("files_a"),
+            F.col("files_b").cast("bigint").alias("files_b"),
+            F.round(
+                F.col("shared") / F.least("files_a", "files_b"), 6
+            ).alias("containment"),
+        )
+    )

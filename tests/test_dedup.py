@@ -568,3 +568,31 @@ def test_duplicate_spans_hot_window_skew(spark):
     for i, s in sets.items():
         nd = sum(1 for h in s if freq[h] >= 2)
         assert got[i] == (len(s), nd), i
+
+
+def test_group_digest_overlap_forks_and_ubiquitous_cutoff(spark):
+    """Fork detection: a mirrored repo pair shows high containment; a file
+    present in every group (ubiquitous boilerplate) is excluded from pair
+    evidence by the max_groups cutoff."""
+    from data_quality_spark.operators.dedup import group_digest_overlap
+
+    rows = []
+    # 12 groups all share the same boilerplate file
+    for g in range(12):
+        rows.append((f"g{g:02d}", "the ubiquitous license text"))
+    # g00/g01 are forks: 3 shared real files + 1 unique each
+    for t in ["file alpha", "file beta", "file gamma"]:
+        rows.append(("g00", t))
+        rows.append(("g01", t))
+    rows.append(("g00", "only in g00"))
+    rows.append(("g01", "only in g01"))
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = group_digest_overlap(
+        df, "source", "text", prefix_len=60, max_groups=10
+    ).collect()
+    pairs = {(r["group_a"], r["group_b"]): r for r in out}
+    # only the fork pair survives: boilerplate digest spans 12 > 10 groups
+    assert set(pairs) == {("g00", "g01")}
+    r = pairs[("g00", "g01")]
+    assert r["shared"] == 3 and r["files_a"] == 5 and r["files_b"] == 5
+    assert r["containment"] == 0.6
