@@ -1,0 +1,83 @@
+"""DSIR-style importance weights for data selection (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Per-document importance weight under hashed-unigram bag-of-words language
+models: ``log p_target(doc) - log p_raw(doc)`` where both models are
+Laplace-smoothed multinomials over ``n_buckets`` hashed word buckets —
+the target model fit on a (small) in-domain subset, the raw model on the
+whole corpus. Documents are then selected by resampling ∝ exp(weight);
+this operator computes the weights (the selection itself is the existing
+rebalance/split machinery).
+
+100 TB shape:
+- Bucket hashing is the house md5-prefix hash mod ``n_buckets`` —
+  engine-portable (oracle-reproducible) and fixed-width, so the model is
+  a BOUNDED table of ``n_buckets`` rows regardless of corpus size.
+- BOTH models come from ONE corpus pass: explode words → groupBy(bucket)
+  with a conditional sum for the target subset (map-side combinable; no
+  second scan for the target model).
+- Per-bucket log-ratios are rounded to 6 dp and carried as
+  DECIMAL(18,6); the per-doc weight is a SUM of decimals — exact and
+  associative, so re-aggregation order (Spark partial aggs vs the
+  oracle's single pass) cannot drift the value (the repo exact-sum rule).
+- The n_buckets-row model broadcasts to the per-doc scoring join; the
+  doc-side stays a narrow explode + map-side-combinable sum.
+
+Reference scope note: the reference has no corpus-selection layer
+(/root/reference/runme.py is per-row); this is a target-side
+training-data-pipeline op per the task brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import word_hash
+
+
+def _bucket(col: Column, n_buckets: int) -> Column:
+    return word_hash(col) % n_buckets
+
+
+def dsir_weights(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(key, n_words, weight DECIMAL(18,6)) — importance weight of every
+    document toward the distribution of rows matching ``target_pred``."""
+    words = df.select(
+        F.col(key_col).alias("k"),
+        target_pred.cast("int").alias("is_t"),
+        F.explode_outer(F.split(F.col(text_col), " ")).alias("w"),
+    ).withColumn("b", _bucket(F.col("w"), n_buckets))
+
+    counts = words.groupBy("b").agg(
+        F.sum("is_t").alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log((F.col("ct") + 1) / (F.col("tt") + F.lit(n_buckets)))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(n_buckets))),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    scored = (
+        words.join(F.broadcast(model), "b")
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("lr").cast("decimal(18,6)").alias("weight"),
+        )
+    )
+    return scored.select(F.col("k").alias(key_col), "n_words", "weight")

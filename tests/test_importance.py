@@ -1,0 +1,46 @@
+"""DSIR importance weights (functions/importance.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions.importance import dsir_weights
+
+
+def test_dsir_weights_separate_target_from_raw(spark):
+    """Docs written in the target vocabulary must score higher than docs
+    written in a disjoint vocabulary; a doc mixing both lands between."""
+    tgt_words = "alpha beta gamma delta " * 10
+    raw_words = "zork quux blorb frobnitz " * 10
+    rows = [
+        (1, 1, tgt_words.strip()),
+        (2, 1, tgt_words.strip()),
+        (3, 0, raw_words.strip()),
+        (4, 0, raw_words.strip()),
+        (5, 0, (("alpha beta " * 10) + ("zork quux " * 10)).strip()),
+        (6, 0, tgt_words.strip()),  # off-label doc in target vocabulary
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, is_tgt int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            df, "doc_id", "text", target_pred=F.col("is_tgt") == 1
+        ).collect()
+    }
+    w = {k: float(v["weight"]) for k, v in out.items()}
+    assert w[1] > w[5] > w[3]
+    # weight depends on the CONTENT distribution, not the label column:
+    # doc 6 (target vocabulary, raw label) scores like docs 1/2
+    assert abs(w[6] - w[1]) < 1e-9
+    assert out[1]["n_words"] == 40
+
+
+def test_dsir_weights_model_is_bounded_and_broadcast(spark):
+    """Plan shape: the scoring join's model side is broadcast (the model
+    is n_buckets rows — bounded regardless of corpus size)."""
+    df = spark.createDataFrame(
+        [(i, i % 2, "w%d x y z" % i) for i in range(50)],
+        "doc_id bigint, is_tgt int, text string",
+    )
+    out = dsir_weights(df, "doc_id", "text", F.col("is_tgt") == 1, n_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
