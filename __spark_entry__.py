@@ -3056,6 +3056,75 @@ SQL_SOURCE_QUALITY = f"""
 """
 
 
+@functools.lru_cache(maxsize=1)
+def _bpe_artifact_merges() -> tuple:
+    """The frozen merge-table artifact both engines encode with: the
+    single-process fit (operators/bpe.py_bpe_reference) over the
+    deterministic pipeline corpus. Its parity with the DISTRIBUTED fit is
+    what q_bpe_merges already proves; q_bpe_encode then tests the apply
+    half against it without paying a second distributed fit."""
+    from collections import Counter
+
+    from data_quality_spark.corpus import generate_files_pdf
+    from data_quality_spark.operators.bpe import py_bpe_reference
+
+    pdf = generate_files_pdf(n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    wc: Counter = Counter()
+    for content in pdf.content:
+        for w in content.split(" "):
+            if w:
+                wc[w] += 1
+    return tuple(py_bpe_reference(dict(wc), n_merges=BPE_N_MERGES))
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLY over the corpus with the frozen merge artifact:
+    per-(stratum, lang) doc/word/token counts. Vocabulary-mediated — each
+    distinct word is encoded once on the dictionary frame, the corpus side
+    is a narrow explode + dictionary join + map-side aggregate
+    (operators/bpe.apply_bpe_merges)."""
+    from data_quality_spark.corpus import generate_files_df
+    from data_quality_spark.operators.bpe import apply_bpe_merges
+
+    files = generate_files_df(spark, n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    return apply_bpe_merges(
+        files, "content", list(_bpe_artifact_merges()),
+        group_cols=["stratum", "lang"],
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _sql_bpe_encode() -> str:
+    # independent single-process encode over the same corpus and the same
+    # frozen merge artifact — pinned VALUES oracle, exact ints
+    from data_quality_spark.corpus import generate_files_pdf
+    from data_quality_spark.operators.bpe import py_bpe_encode
+
+    merges = list(_bpe_artifact_merges())
+    pdf = generate_files_pdf(n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    memo: dict[str, int] = {}
+    agg: dict[tuple[str, str], list[int]] = {}
+    for stratum, lang, content in zip(pdf.stratum, pdf.lang, pdf.content):
+        key = (stratum, lang)
+        a = agg.setdefault(key, [0, 0, 0])
+        a[0] += 1
+        for w in content.split(" "):
+            if not w:
+                continue
+            if w not in memo:
+                memo[w] = len(py_bpe_encode(w, merges))
+            a[1] += 1
+            a[2] += memo[w]
+    rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS stratum, '{lg}' AS lang, "
+        f"CAST({v[0]} AS BIGINT) AS n_docs, "
+        f"CAST({v[1]} AS BIGINT) AS n_words, "
+        f"CAST({v[2]} AS BIGINT) AS n_tokens"
+        for (s, lg), v in sorted(agg.items())
+    )
+    return rows
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (round 4): the driver's CORRECTNESS artifact records
     # the FIRST 50 dict entries only. Rounds 1-3 left 18 queries without a
@@ -3092,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_forks": q_source_forks,
         "dsir_weights": q_dsir_weights,
         "source_quality": q_source_quality,
+        "bpe_encode": q_bpe_encode,
         # -- driver-green in r3 --
         "agreement_score": q_agreement_score,
         "agreement_buckets": q_agreement_buckets,
@@ -3180,6 +3250,7 @@ def oracle_sql() -> dict[str, str]:
         "source_forks": SQL_SOURCE_FORKS,
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "source_quality": SQL_SOURCE_QUALITY,
+        "bpe_encode": _sql_bpe_encode(),
         "dedup_containment": _sql_dedup_containment(),
         "dedup_apply": _sql_dedup_apply(),
         "code_markers": _sql_code_markers(),

@@ -158,3 +158,76 @@ def py_bpe_reference(word_counts: dict[str, int], n_merges: int = 8) -> list[dic
                 out.append(pend)
             dic[w] = (out, c)
     return merges
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    merges: list[dict],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Encode the corpus with a FITTED merge table (the tokenizer-apply
+    half of BPE; merge tables ship as artifacts, so this op is
+    parameterized by ``merges`` rather than refitting).
+
+    100 TB shape mirrors the fit: token counts are VOCABULARY-mediated.
+    Each DISTINCT word is encoded exactly once — the merge rules replay in
+    rank order as higher-order folds over the word's symbol array on the
+    dictionary frame — and the corpus side is a narrow explode joined to
+    the (word → n_tokens) dictionary, then a map-side-combinable per-group
+    aggregate. The corpus is never re-scanned per merge rule and no
+    per-document Python runs anywhere.
+
+    Returns one row per group: (group_cols..., n_docs, n_words, n_tokens).
+    """
+    group_cols = group_cols or []
+    words = df.select(
+        *group_cols,
+        F.explode_outer(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.length("w") >= 1)
+    dic = words.select("w").distinct().withColumn("syms", F.split("w", ""))
+    for m in merges:
+        dic = dic.withColumn(
+            "syms", _merge_adjacent(F.col("syms"), m["left"], m["right"])
+        )
+    dic = dic.select("w", F.size("syms").alias("n_tok")).localCheckpoint(
+        eager=False
+    )
+    docs = df.groupBy(*group_cols).agg(F.count("*").alias("n_docs"))
+    per_word = (
+        words.join(dic, "w")
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return docs.join(per_word, group_cols).select(
+        *group_cols,
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_words",
+        "n_tokens",
+    )
+
+
+def py_bpe_encode(word: str, merges: list[dict]) -> list[str]:
+    """Single-process encode reference: replay merges in rank order with
+    the same greedy left-to-right non-overlapping semantics."""
+    syms = list(word)
+    for m in merges:
+        a, b = m["left"], m["right"]
+        out: list[str] = []
+        pend = None
+        for s in syms:
+            if pend is None:
+                pend = s
+            elif pend == a and s == b:
+                out.append(a + b)
+                pend = None
+            else:
+                out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        syms = out
+    return syms

@@ -41,3 +41,42 @@ def test_bpe_stops_when_no_pairs_left(spark):
     df = spark.createDataFrame([("a b c",)], "content string")
     got = fit_bpe_merges(df, "content", n_merges=5)
     assert got == []  # single-char words: no adjacent pairs, early stop
+
+
+def test_apply_bpe_merges_counts_match_python_encode(spark):
+    from data_quality_spark.operators.bpe import (
+        apply_bpe_merges,
+        fit_bpe_merges,
+        py_bpe_encode,
+    )
+
+    rows = [
+        ("a", "low lower lowest low"),
+        ("a", "low slow slower"),
+        ("b", "newest newer new"),
+    ]
+    df = spark.createDataFrame(rows, "g string, content string")
+    merges = fit_bpe_merges(df, "content", n_merges=4)
+    out = {
+        r["g"]: r
+        for r in apply_bpe_merges(
+            df, "content", merges, group_cols=["g"]
+        ).collect()
+    }
+    exp = {}
+    for g, content in rows:
+        a = exp.setdefault(g, [0, 0, 0])
+        a[0] += 1
+        for w in content.split(" "):
+            if w:
+                a[1] += 1
+                a[2] += len(py_bpe_encode(w, merges))
+    for g, (nd, nw, nt) in exp.items():
+        assert out[g]["n_docs"] == nd
+        assert out[g]["n_words"] == nw
+        assert out[g]["n_tokens"] == nt
+    # merges actually compress: fewer tokens than characters
+    n_chars = sum(
+        len(w) for _, c in rows for w in c.split(" ") if w
+    )
+    assert sum(r["n_tokens"] for r in out.values()) < n_chars
