@@ -183,3 +183,60 @@ def ivf_topk(
     probe = [int(i) for i in np.argsort(d)[:n_probe]]
     cand = assigned.filter(F.col("ivf_cluster").isin(probe))
     return brute_force_topk(cand, key_col, vec_col, query, k)
+
+
+def semdedup(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    tau: float = 0.95,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication — k-means
+    cluster the embeddings, then within each cluster drop every vector
+    that has a LOWER-keyed cluster-mate with cosine ≥ tau (min-key
+    dominance; deterministic given the clustering). The kept set is
+    pairwise below tau within every cluster: if a kept j had a kept i<j
+    with cos ≥ tau, j would have been dropped by i.
+
+    100 TB shape: the clustering is exactly what bounds the quadratic —
+    the pair join is keyed by cluster id, so cost is Σ|cluster|²/2, i.e.
+    n²/k for balanced clusters, and each cluster's pairs co-locate in one
+    shuffle partition (the paper's design point; k scales with corpus
+    size). Norms are computed ONCE per vector before the join (no-CSE
+    rule — the dot-product fold must not replay per pair side).
+
+    Returns (key, cluster, is_kept int, dominator key or null)."""
+    assigned, _ = ivf_index(df, key_col, vec_col, n_clusters, seed)
+    base = assigned.select(
+        F.col(key_col).alias("k"),
+        F.col("ivf_cluster").alias("c"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = base.select(
+        F.col("k").alias("ka"), F.col("c"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = base.select(
+        F.col("k").alias("kb"), F.col("c"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    dom = (
+        a.join(b, "c")
+        .filter(F.col("ka") < F.col("kb"))
+        .withColumn(
+            "cos",
+            _dot(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= tau)
+        .groupBy("kb")
+        .agg(F.min("ka").alias("dominator"))
+    )
+    return base.join(dom, base.k == dom.kb, "left").select(
+        F.col("k").alias(key_col),
+        F.col("c").alias("cluster"),
+        F.col("dominator").isNull().cast("int").alias("is_kept"),
+        "dominator",
+    )

@@ -1,0 +1,70 @@
+"""SemDeDup (operators/similarity.semdedup)."""
+
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators.similarity import _dot, semdedup
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+
+
+def test_semdedup_drops_planted_near_dups(spark):
+    # two tight groups far apart + one isolated point; within-group
+    # cosine ~1, across-group ~0 (orthogonal axes)
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),   # near-dup of 1
+        (3, [0.998, -0.002, 0.0]),  # near-dup of 1
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.001, 0.999, 0.0]),  # near-dup of 10
+        (20, [0.0, 0.0, 1.0]),      # isolated
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(
+            _vecs(spark, rows), "vec_id", "v",
+            n_clusters=3, tau=0.99, seed=7,
+        ).collect()
+    }
+    assert len(out) == 6
+    # min-key dominance: lowest id of each near-dup set survives
+    assert out[1]["is_kept"] == 1
+    assert out[2]["is_kept"] == 0 and out[2]["dominator"] == 1
+    assert out[3]["is_kept"] == 0 and out[3]["dominator"] == 1
+    assert out[10]["is_kept"] == 1
+    assert out[11]["is_kept"] == 0 and out[11]["dominator"] == 10
+    assert out[20]["is_kept"] == 1
+
+
+def test_semdedup_kept_set_pairwise_below_tau(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]
+        rows.append(
+            (i, [base[0] + rng.uniform(-0.05, 0.05),
+                 base[1] + rng.uniform(-0.05, 0.05), rng.uniform(0, 0.05)])
+        )
+    df = _vecs(spark, rows)
+    tau = 0.995
+    sem = semdedup(df, "vec_id", "v", n_clusters=4, tau=tau, seed=7)
+    kept = (
+        sem.filter("is_kept = 1")
+        .join(df, "vec_id")
+        .select("cluster", "vec_id", "v")
+        .withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    viol = (
+        kept.alias("a")
+        .join(kept.alias("b"), "cluster")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+            >= tau
+        )
+        .count()
+    )
+    assert viol == 0
