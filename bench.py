@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "split_leakage",
     "bpe_merges",
+    "bpe_encode",
+    "line_dedup_global",
+    "source_forks",
+    "source_quality",
+    "dsir_weights",
+    "semdedup",
     "duplicate_spans",
     "duplicate_span_extents",
     "mix_rebalance",
