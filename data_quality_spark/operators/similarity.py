@@ -209,9 +209,23 @@ def semdedup(
 
     Returns (key, cluster, is_kept int, dominator key or null)."""
     assigned, _ = ivf_index(df, key_col, vec_col, n_clusters, seed)
+    return semdedup_from_assigned(assigned, key_col, vec_col, tau)
+
+
+def semdedup_from_assigned(
+    assigned: DataFrame,
+    key_col: str,
+    vec_col: str,
+    tau: float = 0.95,
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """The dominance stage of :func:`semdedup` over a precomputed cluster
+    assignment (lets the scaling probe time fit and pair stages
+    separately; in production the assignment IS the persisted IVF
+    layout, so this is also the steady-state entry point)."""
     base = assigned.select(
         F.col(key_col).alias("k"),
-        F.col("ivf_cluster").alias("c"),
+        F.col(cluster_col).alias("c"),
         F.col(vec_col).alias("v"),
     ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a = base.select(

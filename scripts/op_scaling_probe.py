@@ -72,6 +72,49 @@ def build_corpus(replicas: int) -> None:
     spark.stop()
 
 
+def emb_corpus_path(replicas: int) -> str:
+    return f"/tmp/opscale_emb_x{replicas}"
+
+
+def build_emb_corpus(replicas: int) -> None:
+    """Expand sf0.1 embeddings R× with CLUSTER-DISJOINT replicas: each
+    replica's vectors are offset by a large constant along its own
+    coordinate axis, so replicas are far apart in L2 and k-means (with k
+    scaled R×, the SemDeDup design point — k grows with corpus size)
+    separates them. Within-cluster pair work then grows R× (each replica
+    repeats the original cluster structure), not R² — the same
+    linear-output discipline as the word-disjoint document replicas."""
+    path = emb_corpus_path(replicas)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from data_quality_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("opscale-emb-build", cpus=16)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    reps = spark.range(replicas).select(F.col("id").alias("r"))
+    (
+        e.crossJoin(reps)
+        .select(
+            (F.col("vec_id") * replicas + F.col("r")).alias("vec_id"),
+            F.transform(
+                F.col("v"),
+                lambda x, i: x
+                + F.when(
+                    i == (F.col("r") % 64).cast("int"), F.lit(100.0)
+                ).otherwise(F.lit(0.0)),
+            ).alias("v"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark.stop()
+
+
 def run_leg(op: str, cpus: int, replicas: int, runs: int) -> dict:
     cmd = [
         sys.executable, os.path.abspath(__file__),
@@ -97,7 +140,8 @@ def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
 
     spark = get_spark(f"opscale-{op}-{cpus}", cpus=cpus)
     spark.range(1000).select(F.sum("id")).collect()
-    docs = spark.read.parquet(corpus_path(replicas))
+    if op != "semdedup":
+        docs = spark.read.parquet(corpus_path(replicas))
 
     def timed(build):
         """min over `runs` of building + fully materializing the frame."""
@@ -199,6 +243,37 @@ def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
             return D.connected_components(p, key_df, "doc_id")
 
         stages["total"] = timed(total)
+    elif op == "semdedup":
+        import data_quality_spark.operators.similarity as S
+
+        vecs = spark.read.parquet(emb_corpus_path(replicas)).select(
+            "vec_id", "v"
+        )
+        k = 8 * replicas  # k scales with corpus size (SemDeDup design)
+        tau = 0.5
+        # stage 1: k-means fit + assignment, materialized (in production
+        # this is the persisted IVF layout, amortized across queries)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            assigned, _ = S.ivf_index(
+                vecs, "vec_id", "v", n_clusters=k, seed=7
+            )
+            asg = assigned.localCheckpoint(eager=True)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        stages["kmeans_assign"] = round(best, 2)
+        # stage 2: within-cluster dominance pair join over the
+        # materialized assignment (the steady-state op)
+        stages["dominance"] = timed(
+            lambda: S.semdedup_from_assigned(asg, "vec_id", "v", tau=tau)
+        )
+        # end-to-end: fit + dominance
+        stages["total"] = timed(
+            lambda: S.semdedup(
+                vecs, "vec_id", "v", n_clusters=k, tau=tau, seed=7
+            )
+        )
     else:
         raise SystemExit(f"unknown op {op}")
 
@@ -207,7 +282,9 @@ def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--op", required=True, choices=["jaccard", "clusters"])
+    ap.add_argument(
+        "--op", required=True, choices=["jaccard", "clusters", "semdedup"]
+    )
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--replicas", type=int, default=8)
     ap.add_argument("--runs", type=int, default=2)
@@ -223,7 +300,10 @@ def main() -> None:
     load = os.getloadavg()[0]
     if load > 2 and not args.force:
         sys.exit(f"host busy (load {load:.2f} > 2); rerun when quiet or --force")
-    build_corpus(args.replicas)
+    if args.op == "semdedup":
+        build_emb_corpus(args.replicas)
+    else:
+        build_corpus(args.replicas)
     n = run_leg(args.op, args.n, args.replicas, args.runs)
     n4 = run_leg(args.op, args.n * 4, args.replicas, args.runs)
     effs = {
