@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "source_quality",
     "dsir_weights",
     "semdedup",
+    "fork_apply",
     "duplicate_spans",
     "duplicate_span_extents",
     "mix_rebalance",
