@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "semdedup",
     "fork_apply",
+    "pii_report",
     "duplicate_spans",
     "duplicate_span_extents",
     "mix_rebalance",

@@ -155,3 +155,30 @@ def scrub_text(text: str) -> str:
     for _name, pat, repl in SCRUB_RULES:
         text = pat.sub(repl, text)
     return text
+
+
+def pii_rule_counts(content: pd.Series) -> pd.DataFrame:
+    """Per-row match counts for every rule, with the EXACT chain
+    semantics: each rule counts (and replaces) on the text as transformed
+    by the rules before it (``Pattern.subn`` in the frozen order — the
+    same engine, so counts correspond one-to-one to replacements the
+    scrub actually performs). Returns a DataFrame with one int64 column
+    per rule name. Used by the PII-incidence report; the same function is
+    the oracle core (single-engine discipline)."""
+    texts = content.astype("string").fillna("")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        mask = texts.str.contains(ANY_RULE, regex=True)
+    import numpy as np
+
+    counts = {
+        name: np.zeros(len(texts), dtype="int64") for name, _, _ in SCRUB_RULES
+    }
+    idx = np.flatnonzero(mask.to_numpy())
+    vals = texts.to_numpy(dtype=object)
+    for i in idx:
+        t = vals[i]
+        for name, pat, repl in SCRUB_RULES:
+            t, n = pat.subn(repl, t)
+            counts[name][i] = n
+    return pd.DataFrame(counts)
