@@ -3350,6 +3350,91 @@ def _sql_pii_report() -> str:
     return " UNION ALL ".join(rows)
 
 
+def q_ngram_diversity(spark, sf_dir):
+    """Corpus diversity report per source: distinct-word and distinct
+    3-gram ratios (type/token), the repetitiveness signal a mix designer
+    reads next to quality scores (low diversity → templated/boilerplate
+    source). Grams are the house md5-prefix rolling hashes; the heavy
+    aggregate is two map-side-combinable approx-free distinct counts over
+    (source, hash) pairs — split into ONE distinct pre-aggregate per
+    granularity (never countDistinct mixed in one .agg: the multi-distinct
+    Expand trap)."""
+    d = _read(spark, sf_dir, "documents").select("source", "text")
+    d = d.withColumn(
+        "_wh",
+        F.transform(F.split("text", " "), lambda w: DD.word_hash(w)),
+    )
+    grams3 = F.when(
+        F.size("_wh") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_wh") - 2),
+            lambda i: F.element_at("_wh", i) * 1000003
+            + F.element_at("_wh", i + 1) * 31
+            + F.element_at("_wh", i + 2),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    words = (
+        d.select("source", F.explode_outer("_wh").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.count_distinct("h").alias("d_words"),
+        )
+    )
+    trigrams = (
+        d.select("source", grams3.alias("g3"))
+        .select("source", F.explode_outer("g3").alias("h"))
+        .filter(F.col("h").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.count_distinct("h").alias("d_tri"),
+        )
+    )
+    return words.join(trigrams, "source", "left").select(
+        "source",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(F.col("d_words") / F.col("n_words"), 6).alias("word_ttr"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_trigrams"),
+        F.round(
+            F.coalesce(F.col("d_tri") / F.col("n_tri"), F.lit(0.0)), 6
+        ).alias("trigram_ttr"),
+    )
+
+
+SQL_NGRAM_DIVERSITY = """
+    WITH w AS (
+      SELECT source,
+             list_transform(str_split(text, ' '),
+               x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS wh
+      FROM documents
+    ),
+    words AS (
+      SELECT source, count(*) AS n_words, count(DISTINCT h) AS d_words
+      FROM (SELECT source, unnest(wh) AS h FROM w) GROUP BY source
+    ),
+    g AS (
+      SELECT source,
+             CASE WHEN len(wh) >= 3 THEN
+               list_transform(range(1, len(wh) - 1),
+                 i -> wh[i] * 1000003 + wh[i+1] * 31 + wh[i+2])
+             ELSE []::BIGINT[] END AS g3
+      FROM w
+    ),
+    tri AS (
+      SELECT source, count(*) AS n_tri, count(DISTINCT h) AS d_tri
+      FROM (SELECT source, unnest(g3) AS h FROM g) GROUP BY source
+    )
+    SELECT words.source,
+           CAST(words.n_words AS BIGINT) AS n_words,
+           round(words.d_words / CAST(words.n_words AS DOUBLE), 6) AS word_ttr,
+           CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_trigrams,
+           round(coalesce(tri.d_tri / CAST(tri.n_tri AS DOUBLE), 0.0), 6)
+             AS trigram_ttr
+    FROM words LEFT JOIN tri USING (source)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (round 4): the driver's CORRECTNESS artifact records
     # the FIRST 50 dict entries only. Rounds 1-3 left 18 queries without a
@@ -3390,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "fork_apply": q_fork_apply,
         "pii_report": q_pii_report,
+        "ngram_diversity": q_ngram_diversity,
         # -- driver-green in r3 --
         "agreement_score": q_agreement_score,
         "agreement_buckets": q_agreement_buckets,
@@ -3482,6 +3568,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": SQL_SEMDEDUP,
         "fork_apply": SQL_FORK_APPLY,
         "pii_report": _sql_pii_report(),
+        "ngram_diversity": SQL_NGRAM_DIVERSITY,
         "dedup_containment": _sql_dedup_containment(),
         "dedup_apply": _sql_dedup_apply(),
         "code_markers": _sql_code_markers(),

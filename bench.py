@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "semdedup",
     "fork_apply",
     "pii_report",
+    "ngram_diversity",
     "duplicate_spans",
     "duplicate_span_extents",
     "mix_rebalance",
