@@ -2577,6 +2577,30 @@ def _sql_decontaminate(k: int = DECON_NGRAM) -> str:
     """
 
 
+def _chunked_lines_df(df, *keep_cols):
+    """Shared 8-word chunk-synthesis for the line-level queries (the
+    synthetic documents are single-line word soup; boilerplate_lines and
+    line_dedup_global MUST chunk identically — one definition, used by
+    both, mirrored by _CHUNK_SQL)."""
+    d = df.withColumn("_ws", F.split("text", " "))
+    n_chunks = F.greatest(F.ceil(F.size("_ws") / F.lit(8.0)), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(F.col("_ws"), i * 8 + 1, 8), " "),
+    )
+    return d.select(*keep_cols, F.array_join(lines, "\n").alias("text"))
+
+
+# the DuckDB mirror of _chunked_lines_df: {cols} → kept columns
+_CHUNK_SQL = """
+      SELECT {cols},
+             array_to_string(list_transform(
+               range(0, greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1)),
+               i -> array_to_string(ws[i*8+1 : i*8+8], ' ')), chr(10)) AS text
+      FROM (SELECT {cols}, str_split(text, ' ') AS ws FROM documents) w
+"""
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """CCNet-style boilerplate-line stripping: a line present in ≥2 distinct
     docs of the same source is removed; per-doc counts + cleaned-text sha.
@@ -2588,15 +2612,7 @@ def q_boilerplate_lines(spark, sf_dir):
     from data_quality_spark.operators.corpus_clean import strip_boilerplate_lines
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    d = d.withColumn("_ws", F.split("text", " "))
-    n_chunks = F.greatest(F.ceil(F.size("_ws") / F.lit(8.0)), F.lit(1))
-    lines = F.transform(
-        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-        lambda i: F.array_join(F.slice(F.col("_ws"), i * 8 + 1, 8), " "),
-    )
-    docs2 = d.select(
-        "doc_id", "source", F.array_join(lines, "\n").alias("text")
-    )
+    docs2 = _chunked_lines_df(d, "doc_id", "source")
     out = strip_boilerplate_lines(
         docs2, "doc_id", "text", "source", min_docs=2, delim="\n"
     )
@@ -2609,15 +2625,8 @@ def q_boilerplate_lines(spark, sf_dir):
     )
 
 
-SQL_BOILERPLATE_LINES = """
-    WITH w AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
-    d2 AS (
-      SELECT doc_id, source,
-             array_to_string(list_transform(
-               range(0, greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1)),
-               i -> array_to_string(ws[i*8+1 : i*8+8], ' ')), chr(10)) AS text
-      FROM w
-    ),
+SQL_BOILERPLATE_LINES = f"""
+    WITH d2 AS ({_CHUNK_SQL.format(cols="doc_id, source")}),
     l AS (SELECT doc_id, source, str_split(text, chr(10)) AS ls FROM d2),
     ld AS (SELECT DISTINCT source, doc_id, unnest(ls) AS line FROM l),
     freq AS (SELECT source, line, count(*) AS df FROM ld GROUP BY 1, 2),
@@ -2843,13 +2852,7 @@ def q_line_dedup_global(spark, sf_dir):
     from data_quality_spark.operators.corpus_clean import dedup_lines_global
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    d = d.withColumn("_ws", F.split("text", " "))
-    n_chunks = F.greatest(F.ceil(F.size("_ws") / F.lit(8.0)), F.lit(1))
-    lines = F.transform(
-        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-        lambda i: F.array_join(F.slice(F.col("_ws"), i * 8 + 1, 8), " "),
-    )
-    docs2 = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    docs2 = _chunked_lines_df(d, "doc_id")
     out = dedup_lines_global(docs2, "doc_id", "text", delim="\n")
     return out.select(
         "doc_id",
@@ -2859,15 +2862,10 @@ def q_line_dedup_global(spark, sf_dir):
     )
 
 
-SQL_LINE_DEDUP_GLOBAL = """
-    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
-    d2 AS (
-      SELECT doc_id,
-             str_split(array_to_string(list_transform(
-               range(0, greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1)),
-               i -> array_to_string(ws[i*8+1 : i*8+8], ' ')), chr(10)),
-               chr(10)) AS ls
-      FROM w
+SQL_LINE_DEDUP_GLOBAL = f"""
+    WITH d2 AS (
+      SELECT doc_id, str_split(text, chr(10)) AS ls
+      FROM ({_CHUNK_SQL.format(cols="doc_id")}) c
     ),
     e AS (
       SELECT doc_id, i - 1 AS pos, ls[i] AS line,
@@ -3318,7 +3316,11 @@ def q_pii_report(spark, sf_dir):
 
     names = F.array(*[F.lit(n) for n, _, _ in SCRUB_RULES])
     files = generate_files_df(spark, n_files=PIPE_N_FILES, seed=PIPE_SEED)
-    e = files.select("stratum", F.posexplode(_counts("content")).alias("ri", "n"))
+    # posexplode_outer per the house generator rule (the count array is
+    # always 8 elements, so outer is row-identical and filter-proof)
+    e = files.select(
+        "stratum", F.posexplode_outer(_counts("content")).alias("ri", "n")
+    )
     return (
         e.groupBy(
             "stratum", F.element_at(names, F.col("ri") + 1).alias("rule")
@@ -3363,7 +3365,9 @@ def q_ngram_diversity(spark, sf_dir):
     d = d.withColumn(
         "_wh",
         F.transform(F.split("text", " "), lambda w: DD.word_hash(w)),
-    )
+    ).localCheckpoint(eager=False)
+    # the md5-per-word projection feeds BOTH aggregation branches —
+    # materialize once (localCheckpoint-expensive-inputs discipline)
     grams3 = F.when(
         F.size("_wh") >= 3,
         F.transform(

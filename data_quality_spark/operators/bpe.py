@@ -202,11 +202,13 @@ def apply_bpe_merges(
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
-    return docs.join(per_word, group_cols).select(
+    # LEFT join: a group whose docs contain no non-empty words has no
+    # per_word row but must still report (n_docs, 0, 0)
+    return docs.join(per_word, group_cols, "left").select(
         *group_cols,
         F.col("n_docs").cast("bigint").alias("n_docs"),
-        "n_words",
-        "n_tokens",
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
     )
 
 

@@ -194,7 +194,24 @@ def dedup_lines_global(
         F.posexplode_outer(F.split(F.col(text_col), delim)).alias(
             "pos", "line"
         ),
-    ).withColumn("okey", F.col("k") * pos_base + F.col("pos"))
+    ).withColumn(
+        "okey",
+        # enforce the precondition, don't just document it: a doc with
+        # >= pos_base lines would collide encoded keys across documents
+        # and silently crown a wrong first-occurrence winner
+        F.col("k") * pos_base
+        + F.when(F.col("pos") < pos_base, F.col("pos")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "dedup_lines_global: document with >= "
+                        f"{pos_base} lines (pos_base too small), key="
+                    ),
+                    F.col("k").cast("string"),
+                )
+            ).cast("int")
+        ),
+    )
     first = lines.groupBy("line").agg(F.min("okey").alias("first_key"))
     kept = (
         lines.join(first, "line")

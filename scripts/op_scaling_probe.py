@@ -95,6 +95,13 @@ def build_emb_corpus(replicas: int) -> None:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    dim = len(e.select("v").first()[0])
+    if replicas > dim:
+        raise SystemExit(
+            f"replicas ({replicas}) > embedding dim ({dim}): replicas "
+            "beyond dim would share an offset axis, making pair work "
+            "quadratic and breaking the probe's linear-output premise"
+        )
     reps = spark.range(replicas).select(F.col("id").alias("r"))
     (
         e.crossJoin(reps)
@@ -104,7 +111,7 @@ def build_emb_corpus(replicas: int) -> None:
                 F.col("v"),
                 lambda x, i: x
                 + F.when(
-                    i == (F.col("r") % 64).cast("int"), F.lit(100.0)
+                    i == (F.col("r") % dim).cast("int"), F.lit(100.0)
                 ).otherwise(F.lit(0.0)),
             ).alias("v"),
         )

@@ -80,3 +80,19 @@ def test_apply_bpe_merges_counts_match_python_encode(spark):
         len(w) for _, c in rows for w in c.split(" ") if w
     )
     assert sum(r["n_tokens"] for r in out.values()) < n_chars
+
+
+def test_apply_bpe_merges_keeps_wordless_groups(spark):
+    from data_quality_spark.operators.bpe import apply_bpe_merges
+
+    df = spark.createDataFrame(
+        [("a", "low lower"), ("b", " "), ("b", "")],
+        "g string, content string",
+    )
+    out = {
+        r["g"]: r
+        for r in apply_bpe_merges(df, "content", [], group_cols=["g"]).collect()
+    }
+    assert out["b"]["n_docs"] == 2
+    assert out["b"]["n_words"] == 0 and out["b"]["n_tokens"] == 0
+    assert out["a"]["n_words"] == 2

@@ -278,7 +278,7 @@ def test_dedup_lines_global_winner_is_argmin_not_window(spark):
     )
     plan = dedup_lines_global(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "row_number" not in plan.lower()
-    assert "partial_min" in plan or "partial" in plan.lower()
+    assert "partial_min" in plan
 
 
 def test_pii_rule_counts_chain_semantics():
@@ -300,3 +300,18 @@ def test_pii_rule_counts_chain_semantics():
     # the PEM body never reaches hex_secret; the standalone run does
     assert df["hex_secret"].tolist() == [0, 1, 1, 0]
     assert int(df.to_numpy().sum()) == 4
+
+
+def test_dedup_lines_global_rejects_pos_base_overflow(spark):
+    import pytest
+    from data_quality_spark.operators.corpus_clean import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [(1, "\n".join(f"l{i}" for i in range(5)))], "doc_id bigint, text string"
+    )
+    ok = dedup_lines_global(df, "doc_id", "text", pos_base=5).collect()
+    assert len(ok) == 1 and ok[0]["n_kept"] == 5
+    with pytest.raises(Exception, match="pos_base"):
+        # collect() (not count()): an unreferenced aggregated right side
+        # lets Catalyst eliminate the join, skipping the guard entirely
+        dedup_lines_global(df, "doc_id", "text", pos_base=4).collect()
