@@ -506,6 +506,14 @@ def _sql_bpe_merges() -> str:
         f"CAST({m['pair_count']} AS BIGINT) AS pair_count"
         for m in merges
     )
+    if not rows:
+        # zero merges (corpus of 1-char words) must yield a valid
+        # empty-result query, not "FROM ()" — a parse error here fails
+        # oracle_sql() wholesale at import time
+        rows = (
+            "SELECT 0 AS rank_, '' AS left_, '' AS right_, '' AS merged, "
+            "CAST(0 AS BIGINT) AS pair_count WHERE FALSE"
+        )
     # rank/left/right are reserved words — quoted aliases at the outer level
     return (
         f'SELECT rank_ AS "rank", left_ AS "left", right_ AS "right", '

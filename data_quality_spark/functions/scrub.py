@@ -55,8 +55,12 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
         # charset-shaped), though the mixed-case base64url body could never
         # have matched the lowercase hex rule anyway.
         "jwt",
+        # leading guard (v5): same boundary discipline as phone/ip — a JWT
+        # may not start mid-token (inside a longer base64/opaque run or a
+        # dotted chain), so "AAAeyJa.eyJb.c" and "abc.eyJx.eyJy.z" stay
+        # untouched while "token=eyJ…", "\"eyJ…", "Bearer eyJ…" scrub
         re.compile(
-            r"eyJ[A-Za-z0-9_-]+\.eyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+"
+            r"(?<![A-Za-z0-9_.-])eyJ[A-Za-z0-9_-]+\.eyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+"
         ),
         "<JWT>",
     ),
@@ -108,7 +112,7 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
 # dotted quads); v3 added private_key (PEM frames) and phone
 # (separator-delimited 3-3-4); v2 removed hex_secret's upper bound — any
 # rule-semantics change bumps this
-SCRUB_RULES_VERSION = "scrub-v4"
+SCRUB_RULES_VERSION = "scrub-v5"  # v5: jwt leading-boundary guard
 
 
 def _inline(pat: re.Pattern) -> str:

@@ -99,9 +99,15 @@ def score_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     return agg.select(
         F.col("pos").cast("long").alias("n_pos"),
         F.col("neg").cast("long").alias("n_neg"),
-        F.round(
-            (F.col("rs") - F.col("pos") * (F.col("pos") + 1) / 2.0)
-            / (F.col("pos") * F.col("neg")),
-            6,
+        # AUC is undefined with a single class: guard the pos*neg
+        # denominator (ANSI mode raises DIVIDE_BY_ZERO otherwise) and
+        # return NULL rather than crash the job
+        F.when(
+            (F.col("pos") > 0) & (F.col("neg") > 0),
+            F.round(
+                (F.col("rs") - F.col("pos") * (F.col("pos") + 1) / 2.0)
+                / (F.col("pos") * F.col("neg")),
+                6,
+            ),
         ).alias("auc"),
     )

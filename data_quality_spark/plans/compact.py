@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 import shutil
+import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,7 +44,13 @@ def iceberg_rewrite_sql(
     ``rewrite_data_files`` procedure call. Stage/verify/swap/trash-repair
     all disappear — the rewrite commits a new snapshot or nothing, and
     concurrent readers keep the old snapshot until the commit lands."""
-    catalog = table.split(".", 1)[0]
+    # the catalog is the FIRST part only when the name is fully qualified
+    # (catalog.namespace.table, >= 3 parts); a 2-part namespace.table lives
+    # in the current catalog — its first segment is a namespace, not a
+    # catalog, and "CALL namespace.system..." would target the wrong (or a
+    # nonexistent) catalog
+    parts = table.split(".")
+    catalog = parts[0] if len(parts) >= 3 else "spark_catalog"
     return (
         f"CALL {catalog}.system.rewrite_data_files("
         f"table => '{table}', "
@@ -60,8 +67,20 @@ def compact(spark: SparkSession, location: str, **kwargs) -> list[int]:
     directory goes through the stage-verify-swap protocol below, which is
     deliberately parquet-specific (directory renames are its commit
     primitive). ARCHITECTURE.md §8 documents the mapping."""
-    if "/" not in location and iceberg_available(spark):
-        tfs = kwargs.get("target_file_size_bytes", 512 * 1024 * 1024)
+    # Iceberg table identifiers are dotted multi-part names; a single
+    # segment with no dot is a (relative) parquet directory, not a table —
+    # routing it to CALL would hit a wrong/nonexistent table
+    import re as _re
+
+    looks_like_table = bool(_re.fullmatch(r"\w+(\.\w+)+", location))
+    if looks_like_table and iceberg_available(spark):
+        tfs = kwargs.pop("target_file_size_bytes", 512 * 1024 * 1024)
+        ignored = {k: v for k, v in kwargs.items() if v is not None}
+        if ignored:
+            warnings.warn(
+                "compact(): parquet-protocol options ignored on the "
+                f"Iceberg path (snapshot commit subsumes them): {sorted(ignored)}"
+            )
         spark.sql(iceberg_rewrite_sql(location, tfs))
         return []
     kwargs.pop("target_file_size_bytes", None)

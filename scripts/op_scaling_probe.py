@@ -314,7 +314,13 @@ def main() -> None:
     n = run_leg(args.op, args.n, args.replicas, args.runs)
     n4 = run_leg(args.op, args.n * 4, args.replicas, args.runs)
     effs = {
-        s: round(n["stages"][s] / (4 * n4["stages"][s]), 3)
+        # a stage can round to 0.00 s on the 4N leg — report eff as None
+        # rather than losing both legs' timings to a ZeroDivisionError
+        s: (
+            round(n["stages"][s] / (4 * n4["stages"][s]), 3)
+            if n4["stages"][s] > 0
+            else None
+        )
         for s in n["stages"]
     }
     print(

@@ -30,6 +30,7 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     right.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_right")
 
     # disable auto-broadcast so the join would otherwise shuffle
+    prev_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = spark.table("b_left").join(spark.table("b_right"), "k")
@@ -37,9 +38,7 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "Exchange" not in plan, plan[:2000]
         assert joined.count() == 5_000
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_abt)
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
 
@@ -96,6 +95,7 @@ def test_incremental_dedup_index_side_never_shuffles(spark):
     bands.write.mode("overwrite").saveAsTable("dqi_flat_bands")
 
     new = _corpus_docs(spark, 80, seed=9)
+    prev_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         ex_i, bd_i = D.read_dedup_index(spark, "dqi")
@@ -121,8 +121,6 @@ def test_incremental_dedup_index_side_never_shuffles(spark):
         b = sorted(map(tuple, flat.collect()))
         assert a == b and len(a) == 80
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_abt)
         for t in ("dqi_exact", "dqi_bands", "dqi_flat_exact", "dqi_flat_bands"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -36,6 +36,14 @@ def test_compact_seam_dispatch(spark, files_df, tmp_path):
         "CALL lake.system.rewrite_data_files(table => 'lake.db.scored', "
         "options => map('target-file-size-bytes', '268435456'))"
     )
+    # 2-part name: first segment is a NAMESPACE in the current catalog,
+    # not a catalog — the CALL must target spark_catalog
+    sql2 = iceberg_rewrite_sql("db.scored", 256 * 1024 * 1024)
+    assert sql2.startswith("CALL spark_catalog.system.rewrite_data_files(")
+    # a single-segment relative dir is a parquet path, never a table name
+    import re as _re
+
+    assert not _re.fullmatch(r"\w+(\.\w+)+", "scored_out")
 
 
 def _canon(pdf):

@@ -55,3 +55,14 @@ def test_score_auc_matches_pairwise_reference(spark):
         "id long, s double, y boolean",
     )
     assert score_auc(sep, "s", "y").collect()[0]["auc"] == 1.0
+
+
+def test_score_auc_single_class_returns_null_not_crash(spark):
+    from data_quality_spark.operators.estimator import score_auc
+
+    df = spark.createDataFrame(
+        [(0.1, 1), (0.5, 1), (0.9, 1)], "s double, y int"
+    )
+    row = score_auc(df, "s", "y").collect()[0]
+    assert row["n_pos"] == 3 and row["n_neg"] == 0
+    assert row["auc"] is None

@@ -211,3 +211,12 @@ def test_model_cores_shared_encoding_bit_identical():
     assert (p1 == p2).all()
     e1, e2 = byte_entropy(texts), byte_entropy(texts, encoded=enc)
     assert (e1 == e2).all()
+
+
+def test_scrub_jwt_leading_boundary_v5():
+    """v5: a JWT may not start mid-token — inside a longer opaque run or a
+    dotted chain nothing scrubs; after '=', quotes, or space it does."""
+    assert scrub_text("x AAAeyJab.eyJcd.ef y") == "x AAAeyJab.eyJcd.ef y"
+    assert scrub_text("x abc.eyJab.eyJcd.ef y") == "x abc.eyJab.eyJcd.ef y"
+    assert scrub_text('t="eyJab.eyJcd.ef"') == 't="<JWT>"'
+    assert scrub_text("token=eyJab.eyJcd.ef") == "token=<JWT>"
