@@ -3447,6 +3447,90 @@ SQL_NGRAM_DIVERSITY = """
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus-versioning diff between two snapshots — the trigger table an
+    incremental pipeline reads to decide what to (re)process: per status
+    (added / removed / changed / unchanged) doc counts + total chars.
+    Snapshot B is derived deterministically from A (drop doc_id%7==0,
+    append a token for doc_id%5==0, add fresh ids for doc_id%11==0).
+    100 TB shape: both sides distill to (key, digest, n_chars) BEFORE the
+    full-outer join — content never shuffles, the join is keyed on doc id,
+    and the status aggregate combines map-side to 4 rows. On Iceberg this
+    is the materialization of snapshot-expire diffs; on parquet it is two
+    scans + one keyed join."""
+    a = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    b = (
+        a.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" edited"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .union(
+            a.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    def dig(df):
+        return df.select(
+            "doc_id",
+            F.md5("text").alias("dig"),
+            F.length("text").alias("nc"),
+        )
+
+    da = dig(a).alias("a")
+    db = dig(b).alias("b")
+    j = da.join(db, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.dig") != F.col("b.dig"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("b.nc"), F.col("a.nc")).alias("nc"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+    WITH a AS (SELECT doc_id, text FROM documents),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END
+               AS text
+      FROM a WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM a WHERE doc_id % 11 = 0
+    ),
+    da AS (SELECT doc_id, md5(text) AS dig, length(text) AS nc FROM a),
+    db AS (SELECT doc_id, md5(text) AS dig, length(text) AS nc FROM b),
+    j AS (
+      SELECT da.doc_id AS aid, db.doc_id AS bid,
+             da.dig AS adig, db.dig AS bdig,
+             coalesce(db.nc, da.nc) AS nc
+      FROM da FULL OUTER JOIN db ON da.doc_id = db.doc_id
+    )
+    SELECT CASE WHEN aid IS NULL THEN 'added'
+                WHEN bid IS NULL THEN 'removed'
+                WHEN adig <> bdig THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS n_chars
+    FROM j GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (round 4): the driver's CORRECTNESS artifact records
     # the FIRST 50 dict entries only. Rounds 1-3 left 18 queries without a
@@ -3488,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fork_apply": q_fork_apply,
         "pii_report": q_pii_report,
         "ngram_diversity": q_ngram_diversity,
+        "snapshot_diff": q_snapshot_diff,
         # -- driver-green in r3 --
         "agreement_score": q_agreement_score,
         "agreement_buckets": q_agreement_buckets,
@@ -3581,6 +3666,7 @@ def oracle_sql() -> dict[str, str]:
         "fork_apply": SQL_FORK_APPLY,
         "pii_report": _sql_pii_report(),
         "ngram_diversity": SQL_NGRAM_DIVERSITY,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "dedup_containment": _sql_dedup_containment(),
         "dedup_apply": _sql_dedup_apply(),
         "code_markers": _sql_code_markers(),

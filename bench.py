@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "fork_apply",
     "pii_report",
     "ngram_diversity",
+    "snapshot_diff",
     "duplicate_spans",
     "duplicate_span_extents",
     "mix_rebalance",
