@@ -315,3 +315,38 @@ def test_dedup_lines_global_rejects_pos_base_overflow(spark):
         # collect() (not count()): an unreferenced aggregated right side
         # lets Catalyst eliminate the join, skipping the guard entirely
         dedup_lines_global(df, "doc_id", "text", pos_base=4).collect()
+
+
+def test_dedup_lines_global_randomized_uniqueness(spark):
+    """Seeded randomized gate: on any corpus, the kept lines across all
+    docs are exactly the distinct lines of the corpus, each once, and
+    every doc's cleaned text is a subsequence of its original lines."""
+    import numpy as np
+
+    from data_quality_spark.operators.corpus_clean import dedup_lines_global
+
+    rng = np.random.default_rng(123)
+    vocab = [f"line{i}" for i in range(15)]
+    docs = [
+        (i, "\n".join(vocab[int(j)] for j in rng.integers(0, 15, int(rng.integers(1, 12)))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup_lines_global(df, "doc_id", "text").collect()}
+    kept_all = [
+        ln for r in out.values() if r["cleaned"] for ln in r["cleaned"].split("\n")
+    ]
+    distinct_corpus = {ln for _, t in docs for ln in t.split("\n")}
+    assert sorted(kept_all) == sorted(distinct_corpus)
+    # first-occurrence rule: replay the corpus in (doc_id, pos) order
+    seen: set[str] = set()
+    for i, t in sorted(docs):
+        expect = []
+        for ln in t.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                expect.append(ln)
+        assert out[i]["cleaned"].split("\n") == expect or (
+            out[i]["cleaned"] == "" and expect == []
+        )
+        assert out[i]["n_kept"] == len(expect)
