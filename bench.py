@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "pii_report",
     "ngram_diversity",
     "snapshot_diff",
+    "corpus_build",
     "duplicate_spans",
     "duplicate_span_extents",
     "mix_rebalance",
