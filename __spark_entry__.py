@@ -3693,6 +3693,118 @@ SQL_CORPUS_BUILD = f"""
 """
 
 
+def q_ppl_terciles(spark, sf_dir):
+    """CCNet head/middle/tail split: score every doc with the corpus-fit
+    bigram LM and bucket by LM-score terciles (CCNet buckets on
+    perplexity; avg negative log-prob is its monotone equivalent, so the
+    split is identical and exp() never crosses the engine boundary).
+    The scoring here is the JOIN path — doc bigrams left-joined to the
+    vocabulary-sized prob table with an unseen-bigram floor — the
+    engine-portable twin of the models.BigramLM Arrow UDF on the hot
+    path. Exactness: per-pair logs round to 6 dp then sum as DECIMAL
+    (order-free); tercile cutoffs interpolate over the ROUNDED per-doc
+    scores, so both engines compare against bit-identical cutoffs.
+    100 TB shape: fit = one corpus pass (bigram_lm_fit); scoring = one
+    explode + a broadcastable vocabulary join + map-side per-doc sum;
+    cutoffs = percentile over the per-doc score table; final agg = 3
+    rows."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = TX.fit_bigram_lm(docs, "text", min_count=5)
+    d = docs.withColumn("_ws", F.split("text", " ")).filter(
+        F.size("_ws") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_ws") - 1),
+        lambda i: F.struct(
+            F.element_at("_ws", i).alias("w1"),
+            F.element_at("_ws", i + 1).alias("w2"),
+        ),
+    )
+    p = d.select("doc_id", F.explode_outer(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    scored = (
+        p.join(F.broadcast(lm.select("w1", "w2", "prob")), ["w1", "w2"], "left")
+        .withColumn(
+            "logp",
+            F.round(F.log(F.coalesce(F.col("prob"), F.lit(1e-6))), 6).cast(
+                "decimal(18,6)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("logp").alias("slog"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                -F.col("slog").cast("double") / F.col("n_pairs"), 6
+            ).alias("nll"),
+        )
+    )
+    cuts = scored.agg(
+        F.expr("percentile(nll, 0.3333333333333333)").alias("q33"),
+        F.expr("percentile(nll, 0.6666666666666666)").alias("q66"),
+    )
+    lab = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "nll",
+        F.when(F.col("nll") <= F.col("q33"), "head")
+        .when(F.col("nll") <= F.col("q66"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return lab.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_nll"),
+    )
+
+
+SQL_PPL_TERCILES = """
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+      WHERE len(str_split(text, ' ')) >= 2
+    ), p AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, unnest(range(1, len(ws) - 1 + 1)) AS t(i)
+    ), bg AS (
+      SELECT w1, w2, count(*) AS n FROM p GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1, sum(n) AS n1 FROM bg GROUP BY w1
+    ), lm AS (
+      SELECT bg.w1, bg.w2, round(bg.n::DOUBLE / uni.n1, 6) AS prob
+      FROM bg JOIN uni USING (w1) WHERE bg.n >= 5
+    ), scored AS (
+      SELECT p.doc_id,
+             round(-CAST(sum(CAST(round(ln(coalesce(lm.prob, 1e-6)), 6)
+                                  AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS nll
+      FROM p LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+      GROUP BY p.doc_id
+    ), cuts AS (
+      SELECT quantile_cont(nll, 0.3333333333333333) AS q33,
+             quantile_cont(nll, 0.6666666666666666) AS q66
+      FROM scored
+    ), lab AS (
+      SELECT CASE WHEN nll <= q33 THEN 'head'
+                  WHEN nll <= q66 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             nll
+      FROM scored, cuts
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS mean_nll
+    FROM lab GROUP BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (round 4): the driver's CORRECTNESS artifact records
     # the FIRST 50 dict entries only. Rounds 1-3 left 18 queries without a
@@ -3736,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "snapshot_diff": q_snapshot_diff,
         "corpus_build": q_corpus_build,
+        "ppl_terciles": q_ppl_terciles,
         # -- driver-green in r3 --
         "agreement_score": q_agreement_score,
         "agreement_buckets": q_agreement_buckets,
@@ -3831,6 +3944,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_diversity": SQL_NGRAM_DIVERSITY,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "corpus_build": SQL_CORPUS_BUILD,
+        "ppl_terciles": SQL_PPL_TERCILES,
         "dedup_containment": _sql_dedup_containment(),
         "dedup_apply": _sql_dedup_apply(),
         "code_markers": _sql_code_markers(),

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "ngram_diversity",
     "snapshot_diff",
     "corpus_build",
+    "ppl_terciles",
     "duplicate_spans",
     "duplicate_span_extents",
     "mix_rebalance",
