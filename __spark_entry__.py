@@ -2599,13 +2599,14 @@ def _chunked_lines_df(df, *keep_cols):
     return d.select(*keep_cols, F.array_join(lines, "\n").alias("text"))
 
 
-# the DuckDB mirror of _chunked_lines_df: {cols} → kept columns
+# the DuckDB mirror of _chunked_lines_df: {cols} → kept columns,
+# {src} → source relation (default the documents view)
 _CHUNK_SQL = """
       SELECT {cols},
              array_to_string(list_transform(
                range(0, greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1)),
                i -> array_to_string(ws[i*8+1 : i*8+8], ' ')), chr(10)) AS text
-      FROM (SELECT {cols}, str_split(text, ' ') AS ws FROM documents) w
+      FROM (SELECT {cols}, str_split(text, ' ') AS ws FROM {src}) w
 """
 
 
@@ -2634,7 +2635,7 @@ def q_boilerplate_lines(spark, sf_dir):
 
 
 SQL_BOILERPLATE_LINES = f"""
-    WITH d2 AS ({_CHUNK_SQL.format(cols="doc_id, source")}),
+    WITH d2 AS ({_CHUNK_SQL.format(cols="doc_id, source", src="documents")}),
     l AS (SELECT doc_id, source, str_split(text, chr(10)) AS ls FROM d2),
     ld AS (SELECT DISTINCT source, doc_id, unnest(ls) AS line FROM l),
     freq AS (SELECT source, line, count(*) AS df FROM ld GROUP BY 1, 2),
@@ -2873,7 +2874,7 @@ def q_line_dedup_global(spark, sf_dir):
 SQL_LINE_DEDUP_GLOBAL = f"""
     WITH d2 AS (
       SELECT doc_id, str_split(text, chr(10)) AS ls
-      FROM ({_CHUNK_SQL.format(cols="doc_id")}) c
+      FROM ({_CHUNK_SQL.format(cols="doc_id", src="documents")}) c
     ),
     e AS (
       SELECT doc_id, i - 1 AS pos, ls[i] AS line,
@@ -3592,6 +3593,8 @@ def q_corpus_build(spark, sf_dir):
     )
 
 
+_CORPUS_CHUNK = _CHUNK_SQL.format(cols="doc_id", src="kept_docs")
+
 SQL_CORPUS_BUILD = f"""
     WITH dd AS (
       SELECT DISTINCT source AS g, md5(substring(text, 1, 60)) AS dig
@@ -3626,13 +3629,7 @@ SQL_CORPUS_BUILD = f"""
     ),
     d2 AS (
       SELECT doc_id, str_split(text, chr(10)) AS ls
-      FROM (
-        SELECT doc_id,
-               array_to_string(list_transform(
-                 range(0, greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1)),
-                 i -> array_to_string(ws[i*8+1 : i*8+8], ' ')), chr(10)) AS text
-        FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM kept_docs) w
-      ) c
+      FROM ({_CORPUS_CHUNK}) c
     ),
     e AS (
       SELECT doc_id, i - 1 AS pos, ls[i] AS line,

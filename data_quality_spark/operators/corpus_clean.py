@@ -200,7 +200,12 @@ def dedup_lines_global(
         # >= pos_base lines would collide encoded keys across documents
         # and silently crown a wrong first-occurrence winner
         F.col("k") * pos_base
-        + F.when(F.col("pos") < pos_base, F.col("pos")).otherwise(
+        # NULL pos (a NULL-text row's outer-explode) passes through — okey
+        # stays NULL and the row falls out of the equi-join, coming back
+        # via the base left join as n_kept=0 (pre-guard behavior)
+        + F.when(
+            F.col("pos").isNull() | (F.col("pos") < pos_base), F.col("pos")
+        ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(

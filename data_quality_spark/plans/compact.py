@@ -33,12 +33,14 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import iceberg_available
+from ..sources.io import iceberg_available, is_table_identifier
 from .checkpoint import data_path
 
 
 def iceberg_rewrite_sql(
-    table: str, target_file_size_bytes: int = 512 * 1024 * 1024
+    table: str,
+    target_file_size_bytes: int = 512 * 1024 * 1024,
+    current_catalog: str = "spark_catalog",
 ) -> str:
     """The Iceberg form of this whole module: one snapshot-atomic
     ``rewrite_data_files`` procedure call. Stage/verify/swap/trash-repair
@@ -46,11 +48,11 @@ def iceberg_rewrite_sql(
     concurrent readers keep the old snapshot until the commit lands."""
     # the catalog is the FIRST part only when the name is fully qualified
     # (catalog.namespace.table, >= 3 parts); a 2-part namespace.table lives
-    # in the current catalog — its first segment is a namespace, not a
+    # in the CURRENT catalog — its first segment is a namespace, not a
     # catalog, and "CALL namespace.system..." would target the wrong (or a
     # nonexistent) catalog
     parts = table.split(".")
-    catalog = parts[0] if len(parts) >= 3 else "spark_catalog"
+    catalog = parts[0] if len(parts) >= 3 else current_catalog
     return (
         f"CALL {catalog}.system.rewrite_data_files("
         f"table => '{table}', "
@@ -67,13 +69,7 @@ def compact(spark: SparkSession, location: str, **kwargs) -> list[int]:
     directory goes through the stage-verify-swap protocol below, which is
     deliberately parquet-specific (directory renames are its commit
     primitive). ARCHITECTURE.md §8 documents the mapping."""
-    # Iceberg table identifiers are dotted multi-part names; a single
-    # segment with no dot is a (relative) parquet directory, not a table —
-    # routing it to CALL would hit a wrong/nonexistent table
-    import re as _re
-
-    looks_like_table = bool(_re.fullmatch(r"\w+(\.\w+)+", location))
-    if looks_like_table and iceberg_available(spark):
+    if is_table_identifier(location) and iceberg_available(spark):
         tfs = kwargs.pop("target_file_size_bytes", 512 * 1024 * 1024)
         ignored = {k: v for k, v in kwargs.items() if v is not None}
         if ignored:
@@ -81,7 +77,11 @@ def compact(spark: SparkSession, location: str, **kwargs) -> list[int]:
                 "compact(): parquet-protocol options ignored on the "
                 f"Iceberg path (snapshot commit subsumes them): {sorted(ignored)}"
             )
-        spark.sql(iceberg_rewrite_sql(location, tfs))
+        spark.sql(
+            iceberg_rewrite_sql(
+                location, tfs, current_catalog=spark.catalog.currentCatalog()
+            )
+        )
         return []
     kwargs.pop("target_file_size_bytes", None)
     return compact_partitions(spark, location, **kwargs)

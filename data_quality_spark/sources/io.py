@@ -41,10 +41,21 @@ def iceberg_session_conf(
     }
 
 
+def is_table_identifier(location: str) -> bool:
+    """ONE dispatch predicate for the whole seam (read_files_table,
+    write_scored, plans/compact.compact): an Iceberg table identifier is a
+    dotted multi-part name (`[catalog.]namespace.table`); anything with a
+    slash — or a bare single segment, which is a relative directory — is a
+    path. The same location string must route identically everywhere."""
+    import re
+
+    return bool(re.fullmatch(r"\w+(\.\w+)+", location))
+
+
 def read_files_table(spark: SparkSession, location: str) -> DataFrame:
     """``location`` is an iceberg table name (catalog.db.tbl) or a parquet
     dir; picked by capability + shape."""
-    if "/" not in location and iceberg_available(spark):
+    if is_table_identifier(location) and iceberg_available(spark):
         return spark.read.format("iceberg").load(location)
     return spark.read.parquet(location)
 
@@ -61,7 +72,7 @@ def write_scored(
     spark.sql.sources.partitionOverwriteMode=dynamic (set by the caller,
     plans/checkpoint.py)."""
     spark = df.sparkSession
-    if "/" not in location and iceberg_available(spark):
+    if is_table_identifier(location) and iceberg_available(spark):
         df.writeTo(location).overwritePartitions()
         return
     df.write.mode(mode).partitionBy(partition_col).parquet(location)

@@ -95,7 +95,13 @@ def build_emb_corpus(replicas: int) -> None:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    dim = len(e.select("v").first()[0])
+    row = e.select("v").first()
+    if row is None:
+        raise SystemExit(
+            f"{SF_DIR}/embeddings.parquet has no rows — cannot build the "
+            "probe corpus"
+        )
+    dim = len(row[0])
     if replicas > dim:
         raise SystemExit(
             f"replicas ({replicas}) > embedding dim ({dim}): replicas "

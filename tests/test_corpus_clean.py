@@ -350,3 +350,14 @@ def test_dedup_lines_global_randomized_uniqueness(spark):
             out[i]["cleaned"] == "" and expect == []
         )
         assert out[i]["n_kept"] == len(expect)
+
+
+def test_dedup_lines_global_null_text_survives_guard(spark):
+    from data_quality_spark.operators.corpus_clean import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, None)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_global(df, "doc_id", "text").collect()}
+    assert out[1]["n_kept"] == 2
+    assert out[2]["n_kept"] == 0 and out[2]["cleaned"] == ""
