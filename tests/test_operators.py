@@ -372,3 +372,33 @@ def test_rebalance_mix_normalizes_unnormalized_targets(spark):
     # → s0 keeps all 1000, s1 keeps ~333
     assert got["s0"] == 1000
     assert abs(got["s1"] - 333) <= 40
+
+
+def test_ppl_terciles_semantics(spark):
+    """Terciles partition the corpus and order by LM fit: head (best fit)
+    has strictly lower mean negative-log-prob than tail."""
+    import __spark_entry__ as E
+
+    rows = {r["bucket"]: r for r in E.q_ppl_terciles(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) <= {"head", "middle", "tail"} and "head" in rows and "tail" in rows
+    n = sum(r["n_docs"] for r in rows.values())
+    assert n > 0
+    assert rows["head"]["mean_nll"] < rows["tail"]["mean_nll"]
+    if "middle" in rows:
+        assert rows["head"]["mean_nll"] <= rows["middle"]["mean_nll"] <= rows["tail"]["mean_nll"]
+
+
+def test_corpus_build_plan_gates(spark):
+    """Capstone composition: no per-row Python, no cartesian product, and
+    the fork-decision join is a broadcast."""
+    import __spark_entry__ as E
+
+    plan = (
+        E.q_corpus_build(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
