@@ -3802,6 +3802,92 @@ SQL_PPL_TERCILES = """
 """
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """NEAR-duplicate benchmark decontamination: exact-gram decontaminate
+    misses paraphrased/partially-edited eval leakage, so this variant
+    flags corpus docs sharing ≥1 MinHash LSH band with the benchmark
+    split (same split as q_decontaminate; recall-oriented, like any band
+    collision — pair-verify downstream if the count matters more than the
+    alarm). 100 TB shape mirrors contamination_flags: the benchmark band
+    set is SMALL by nature and broadcast; the corpus side is the narrow
+    signature fold + a broadcast left join + map-side max — no corpus
+    self-join anywhere."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+
+    def bands(df):
+        return DD.minhash_bands(
+            DD.minhash_signature(df, "text", MINHASH_NUM, MINHASH_K),
+            "doc_id",
+            MINHASH_NUM,
+            MINHASH_BANDS,
+        )
+
+    bset = bands(bench).select("band_id", "band_key").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        bands(corpus)
+        .join(F.broadcast(bset), ["band_id", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("int")
+            .alias("near_contaminated")
+        )
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _sql_decontaminate_fuzzy() -> str:
+    k = MINHASH_K
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> "
+        f"((s * {2 * i + 1} + {7919 * (i + 1)}) % 2147483647))) AS s{i}"
+        for i in range(MINHASH_NUM)
+    )
+    rows_per_band = MINHASH_NUM // MINHASH_BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, "
+        f"{b} AS band_id, "
+        + " || '_' || ".join(
+            f"s{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + " AS band_key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    combine = _sql_rolling_combine(k)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(ws, x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
+      FROM w
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(wh) - {k} + 1, 1) + 1),
+               i -> {combine})) AS sh
+      FROM h
+    ), sig AS (
+      SELECT doc_id, {sigs} FROM sh
+    ), bands AS ({band_rows}),
+    bench AS (
+      SELECT DISTINCT band_id, band_key FROM bands WHERE doc_id % 10 = 0
+    ),
+    corp AS (SELECT * FROM bands WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id,
+           CAST(max(CASE WHEN b.band_key IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS near_contaminated
+    FROM corp c
+    LEFT JOIN bench b ON c.band_id = b.band_id AND c.band_key = b.band_key
+    GROUP BY c.doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (round 4): the driver's CORRECTNESS artifact records
     # the FIRST 50 dict entries only. Rounds 1-3 left 18 queries without a
@@ -3846,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "corpus_build": q_corpus_build,
         "ppl_terciles": q_ppl_terciles,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         # -- driver-green in r3 --
         "agreement_score": q_agreement_score,
         "agreement_buckets": q_agreement_buckets,
@@ -3942,6 +4029,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "corpus_build": SQL_CORPUS_BUILD,
         "ppl_terciles": SQL_PPL_TERCILES,
+        "decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
         "dedup_containment": _sql_dedup_containment(),
         "dedup_apply": _sql_dedup_apply(),
         "code_markers": _sql_code_markers(),

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "embed_lsh_buckets",
     "embed_topk_batch",
     "decontaminate",
+    "decontaminate_fuzzy",
     "boilerplate_lines",
     "events_hourly",
     "events_sessions",
