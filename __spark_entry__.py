@@ -3003,11 +3003,14 @@ def q_source_quality(spark, sf_dir):
         .withColumn("_ws", F.split("text", " "))
         .withColumn("_lws", F.split(F.lower("text"), " "))
     )
-    score = TX.quality_score(F.col("text"), ws=F.col("_ws"), lws=F.col("_lws"))
-    per = d.select(
+    # no-CSE rule: the score's per-word folds are expensive — materialize
+    # the expression ONCE and derive both sdec and bucket from the column
+    per = d.withColumn(
+        "_q", TX.quality_score(F.col("text"), ws=F.col("_ws"), lws=F.col("_lws"))
+    ).select(
         "source",
-        score.cast("decimal(18,6)").alias("sdec"),
-        quality_bucket(score).alias("bucket"),
+        F.col("_q").cast("decimal(18,6)").alias("sdec"),
+        quality_bucket(F.col("_q")).alias("bucket"),
     )
     agg = per.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -3146,13 +3149,30 @@ def q_semdedup(spark, sf_dir):
       sharing a cluster (the SemDeDup postcondition);
     - dominators_ok: every dropped vector's recorded dominator is a
       lower-keyed cluster-mate with cosine ≥ tau, recomputed exactly;
-    - has_drops: vacuity guard (tau=0.5 reuses the embed_cosine_dup
-      threshold that provably fires on this table)."""
+    - has_drops: vacuity guard made CLUSTERING-INDEPENDENT by planting two
+      bit-identical copies (vec_id -1, -2) of the lowest-keyed embedding:
+      identical vectors get identical centroid distances, so ANY k-means
+      assignment co-clusters them, their cosine is exactly 1.0 ≥ tau, and
+      the kept-set-pairwise-<tau postcondition forbids keeping both — at
+      least one drop is structurally guaranteed regardless of seed, scale
+      factor, or centroid drift (the oracle pins n_vecs = count + 2)."""
     tau = 0.5
-    e = _read(spark, sf_dir, "embeddings").select(
+    base = _read(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    planted = (
+        base.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("v").alias("pv"))
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(-1,), (-2,)], "vec_id bigint")
+            )
+        )
+        .select("vec_id", F.col("pv").alias("v"))
+    )
+    e = base.unionByName(planted)
     sem = SIM.semdedup(
         e, "vec_id", "v", n_clusters=8, tau=tau, seed=7
     ).localCheckpoint(eager=False)
@@ -3230,7 +3250,7 @@ def q_semdedup(spark, sf_dir):
 
 
 SQL_SEMDEDUP = """
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
+    SELECT (SELECT CAST(count(*) + 2 AS BIGINT) FROM embeddings) AS n_vecs,
            1 AS partition_ok, 1 AS kept_pairs_ok,
            1 AS dominators_ok, 1 AS has_drops
 """
@@ -3706,7 +3726,9 @@ def q_ppl_terciles(spark, sf_dir):
     cutoffs = percentile over the per-doc score table; final agg = 3
     rows."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    lm = TX.fit_bigram_lm(docs, "text", min_count=5)
+    # the LM fit feeds both the scoring join and (via scored) the cutoff
+    # agg — localCheckpoint expensive inputs once before reuse
+    lm = TX.fit_bigram_lm(docs, "text", min_count=5).localCheckpoint(eager=False)
     d = docs.withColumn("_ws", F.split("text", " ")).filter(
         F.size("_ws") >= 2
     )
@@ -3739,6 +3761,9 @@ def q_ppl_terciles(spark, sf_dir):
                 -F.col("slog").cast("double") / F.col("n_pairs"), 6
             ).alias("nll"),
         )
+        # scored is consumed twice (tercile-cutoff agg + labeling join);
+        # without a checkpoint the whole scoring pipeline executes twice
+        .localCheckpoint(eager=False)
     )
     cuts = scored.agg(
         F.expr("percentile(nll, 0.3333333333333333)").alias("q33"),
@@ -3888,69 +3913,40 @@ def _sql_decontaminate_fuzzy() -> str:
     """
 
 
+# Queries whose IMPLEMENTING CODE changed this round after their last
+# driver-checked round — the guard test forces every one of these into the
+# current 50-entry driver window so no query ever ships on a stale driver
+# row. Rebuild this list each round (start from empty, append on edit).
+CHANGED_THIS_ROUND = [
+    # code changed in r4 AFTER their r3 driver check (VERDICT r4 "Next #1")
+    "scrub_documents",      # scrub-v3 → v5 (+ v6 this round)
+    "resume_pending",       # plans/checkpoint.py run_id-tiebreak hunk
+    "dedup_containment",    # shared shingle-helper refactor (dedup.py:173-205)
+    "dedup_apply",          # same refactor
+    # code changed in r5 after their r4 driver check
+    "source_quality",       # no-CSE fix: quality score materialized once
+    "ppl_terciles",         # localCheckpoint on lm + scored
+    "semdedup",             # planted-pair clustering-independent has_drops
+    "pii_report",           # scrub-v6 rule additions
+    "sessionized_counts",   # (ts, event_id) cumsum-order oracle fix (late r4)
+    "heavy_hitters",        # strict-> freqItems contract fix (late r4)
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (round 4): the driver's CORRECTNESS artifact records
-    # the FIRST 50 dict entries only. Rounds 1-3 left 18 queries without a
-    # driver row (10 never checked, 8 slid out of the r3 window), so those 18
-    # lead, followed by round-4's new queries, then the r3-green tail. The
-    # union of r3+r4 driver artifacts then covers all entries.
+    # ORDERING CONTRACT: the driver's CORRECTNESS artifact records the FIRST
+    # 50 dict entries only. Round-5 window = the 35 queries whose latest
+    # driver row is r3 (leading with the four whose code changed in r4 after
+    # that check), then every query whose code changed this round, then new
+    # r5 queries, then r4-green fill. Union of r4+r5 artifacts covers all
+    # entries with no stale-code rows.
     return {
-        # -- never driver-checked (r1-r3) --
-        "pipeline_keep_drop": q_pipeline_keep_drop,
-        "pipeline_metrics": q_pipeline_metrics,
-        "estimator_quality": q_estimator_quality,
-        "sessionized_counts": q_sessionized_counts,
-        "decontaminate": q_decontaminate,
-        "boilerplate_lines": q_boilerplate_lines,
-        "dedup_incremental": q_dedup_incremental,
-        "transpose_metrics": q_transpose_metrics,
-        "threshold_sweep": q_threshold_sweep,
-        "heavy_hitters": q_heavy_hitters,
-        # -- green in r2 but outside the r3 window --
-        "embed_cosine_dup": q_embed_cosine_dup,
-        "asof_join": q_asof_join,
-        "rollup_hierarchy": q_rollup_hierarchy,
-        "quantiles": q_quantiles,
-        "quantiles_approx": q_quantiles_approx,
-        "pivot_event_types": q_pivot_event_types,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "symbolic_sequences": q_symbolic_sequences,
-        # -- new in round 4 --
-        "duplicate_span_extents": q_duplicate_span_extents,
-        "quality_auc": q_quality_auc,
-        "split_leakage": q_split_leakage,
-        "bpe_merges": q_bpe_merges,
-        "line_dedup_global": q_line_dedup_global,
-        "source_forks": q_source_forks,
-        "dsir_weights": q_dsir_weights,
-        "source_quality": q_source_quality,
-        "bpe_encode": q_bpe_encode,
-        "semdedup": q_semdedup,
-        "fork_apply": q_fork_apply,
-        "pii_report": q_pii_report,
-        "ngram_diversity": q_ngram_diversity,
-        "snapshot_diff": q_snapshot_diff,
-        "corpus_build": q_corpus_build,
-        "ppl_terciles": q_ppl_terciles,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        # -- driver-green in r3 --
-        "agreement_score": q_agreement_score,
-        "agreement_buckets": q_agreement_buckets,
-        "quality_binarize": q_quality_binarize,
-        "doc_heuristics": q_doc_heuristics,
-        "doc_langid": q_doc_langid,
-        "doc_tokens": q_doc_tokens,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_entropy": q_doc_entropy,
-        "doc_quality": q_doc_quality,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "duplicate_spans": q_duplicate_spans,
+        # -- code changed after last driver check (lead) --
+        "scrub_documents": q_scrub_documents,
+        "resume_pending": q_resume_pending,
         "dedup_containment": q_dedup_containment,
         "dedup_apply": q_dedup_apply,
+        # -- r3-evidence tail (31) --
         "code_markers": q_code_markers,
         "doc_repetition": q_doc_repetition,
         "embed_topk": q_embed_topk,
@@ -3959,7 +3955,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
         "decode_join": q_decode_join,
-        "resume_pending": q_resume_pending,
         "topk_per_group": q_topk_per_group,
         "semi_join": q_semi_join,
         "doc_chunks": q_doc_chunks,
@@ -3976,7 +3971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "mix_rebalance": q_mix_rebalance,
         "split_group": q_split_group,
-        "scrub_documents": q_scrub_documents,
         "string_render": q_string_render,
         "distinct_agg": q_distinct_agg,
         "distinct_approx": q_distinct_approx,
@@ -3984,6 +3978,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_mad": q_outliers_mad,
         "vocab_topk": q_vocab_topk,
         "set_ops": q_set_ops,
+        # -- r4-green but code changed in r5 --
+        "source_quality": q_source_quality,
+        "ppl_terciles": q_ppl_terciles,
+        "semdedup": q_semdedup,
+        "pii_report": q_pii_report,
+        "sessionized_counts": q_sessionized_counts,
+        "heavy_hitters": q_heavy_hitters,
+        # -- new in round 5 (inserted here as built) --
+        # -- r4-green fill (re-confirmation bonus) --
+        "pipeline_keep_drop": q_pipeline_keep_drop,
+        "pipeline_metrics": q_pipeline_metrics,
+        "dedup_incremental": q_dedup_incremental,
+        "corpus_build": q_corpus_build,
+        "line_dedup_global": q_line_dedup_global,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "duplicate_spans": q_duplicate_spans,
+        # ---- window boundary: entries below stand on green r4 rows ----
+        "estimator_quality": q_estimator_quality,
+        "decontaminate": q_decontaminate,
+        "boilerplate_lines": q_boilerplate_lines,
+        "transpose_metrics": q_transpose_metrics,
+        "threshold_sweep": q_threshold_sweep,
+        "embed_cosine_dup": q_embed_cosine_dup,
+        "asof_join": q_asof_join,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "quantiles": q_quantiles,
+        "quantiles_approx": q_quantiles_approx,
+        "pivot_event_types": q_pivot_event_types,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "symbolic_sequences": q_symbolic_sequences,
+        "duplicate_span_extents": q_duplicate_span_extents,
+        "quality_auc": q_quality_auc,
+        "split_leakage": q_split_leakage,
+        "bpe_merges": q_bpe_merges,
+        "source_forks": q_source_forks,
+        "dsir_weights": q_dsir_weights,
+        "bpe_encode": q_bpe_encode,
+        "fork_apply": q_fork_apply,
+        "ngram_diversity": q_ngram_diversity,
+        "snapshot_diff": q_snapshot_diff,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "agreement_score": q_agreement_score,
+        "agreement_buckets": q_agreement_buckets,
+        "quality_binarize": q_quality_binarize,
+        "doc_heuristics": q_doc_heuristics,
+        "doc_langid": q_doc_langid,
+        "doc_tokens": q_doc_tokens,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_entropy": q_doc_entropy,
+        "doc_quality": q_doc_quality,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
     }
 
 

@@ -41,15 +41,37 @@ def iceberg_session_conf(
     }
 
 
+_DATA_FILE_SUFFIXES = (".parquet", ".orc", ".csv", ".json", ".jsonl", ".avro")
+
+
 def is_table_identifier(location: str) -> bool:
     """ONE dispatch predicate for the whole seam (read_files_table,
     write_scored, plans/compact.compact): an Iceberg table identifier is a
-    dotted multi-part name (`[catalog.]namespace.table`); anything with a
-    slash — or a bare single segment, which is a relative directory — is a
-    path. The same location string must route identically everywhere."""
+    dotted multi-part name (`[catalog.]namespace.table`) whose segments may
+    be plain (including hyphens, e.g. ``my-catalog.db.tbl``) or
+    backtick-quoted (``` `my db`.tbl ```); anything with a slash — or a
+    bare single segment, which is a relative directory — is a path. A
+    dotted-looking location that still fails the match warns, so a
+    misroute surfaces as a visible message instead of a confusing parquet
+    path error. The same location string must route identically
+    everywhere."""
     import re
+    import warnings
 
-    return bool(re.fullmatch(r"\w+(\.\w+)+", location))
+    seg = r"(`[^`/]+`|\w[\w$-]*)"
+    if re.fullmatch(rf"{seg}(\.{seg})+", location):
+        return True
+    if (
+        "." in location
+        and "/" not in location
+        and not location.lower().endswith(_DATA_FILE_SUFFIXES)
+    ):
+        warnings.warn(
+            f"location {location!r} looks dotted but is not a valid table "
+            "identifier; routing to the parquet path reader",
+            stacklevel=2,
+        )
+    return False
 
 
 def read_files_table(spark: SparkSession, location: str) -> DataFrame:

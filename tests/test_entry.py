@@ -105,18 +105,27 @@ def test_bench_list_is_subset_of_queries():
 
 def test_driver_window_covers_every_unchecked_query():
     """Ordering contract: the driver's CORRECTNESS artifact records only
-    the FIRST 50 queries() entries. Every query without a green row in the
-    round-3 artifact (never checked, r2-only, or new in round 4) must
-    therefore sit inside the first 50 so the union of r3+r4 artifacts
-    covers all entries."""
+    the FIRST 50 queries() entries. Two invariants keep the r4+r5 union
+    authoritative for the code AS IT NOW STANDS:
+    (a) every query without a green row in the round-4 artifact (evidence
+        stuck at r3 or new this round) sits inside the first 50;
+    (b) every query listed in E.CHANGED_THIS_ROUND — implementing code
+        modified after its last driver check — sits inside the first 50,
+        so no query ever ships on a stale-code driver row."""
     import json
     import os
 
-    r3_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
-    r3 = set(json.load(open(r3_path)))
+    r4_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r04.json")
+    r4 = set(json.load(open(r4_path)))
     names = list(E.queries())
     first50 = set(names[:50])
-    uncovered = [q for q in names if q not in r3 and q not in first50]
+    uncovered = [q for q in names if q not in r4 and q not in first50]
     assert uncovered == [], (
-        f"queries with no driver evidence in either window: {uncovered}"
+        f"queries with no current driver evidence in either window: {uncovered}"
     )
+    stale = [q for q in E.CHANGED_THIS_ROUND if q not in first50]
+    assert stale == [], (
+        f"code-changed queries outside the driver window: {stale}"
+    )
+    unknown = [q for q in E.CHANGED_THIS_ROUND if q not in names]
+    assert unknown == [], unknown
