@@ -21,12 +21,49 @@ pattern).
 
 from __future__ import annotations
 
+import ipaddress
 import re
 import warnings
 
 import pandas as pd
 
+
+def _luhn_ok(digits: str) -> bool:
+    """Luhn checksum (ISO/IEC 7812) — the validity gate that separates a
+    real card number from a random digit run (a random 16-digit id passes
+    only 10% of the time)."""
+    s = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d = d * 2 - 9 if d >= 5 else d * 2
+        s += d
+    return s % 10 == 0
+
+
+def _card_repl(m: re.Match) -> str:
+    """Replacement gate for credit_card: the regex finds card-SHAPED
+    candidates; only Luhn-valid ones are scrubbed (identity otherwise, so
+    a non-card digit run is byte-untouched)."""
+    return "<CARD>" if _luhn_ok(re.sub(r"[ -]", "", m.group(0))) else m.group(0)
+
+
+def _ipv6_repl(m: re.Match) -> str:
+    """Replacement gate for ipv6: the regex finds colon-hex candidates;
+    only strings the stdlib parser accepts as IPv6 are scrubbed — MACs,
+    timestamps and a::b::c chains fall out here, not in the pattern."""
+    try:
+        ipaddress.IPv6Address(m.group(0))
+        return "<IP6>"
+    except ValueError:
+        return m.group(0)
+
+
 # (name, compiled pattern, replacement) — order matters and is frozen.
+# A replacement may be a CALLABLE (validity-gated rules): it returns the
+# mask token for true positives and the original match text otherwise —
+# the chain's untouched-row byte-equality invariant is preserved because
+# an identity replacement is byte-identical.
 SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
     (
         "email",
@@ -69,6 +106,27 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
     # longer hex run
     ("hex_secret", re.compile(r"\b[0-9a-f]{40,}\b"), "<SECRET>"),
     (
+        # credit cards (v6): two shapes — (a) separator-grouped 4-4-4-4
+        # (Visa/MC/Discover) or 4-6-5 (Amex), (b) CONTIGUOUS runs only
+        # when they start with a known IIN prefix (4…, 51-55, 34/37,
+        # 6011/65…) so 13-16-digit ids/timestamps are not card-shaped.
+        # Both gated by the Luhn check in the replacement callable.
+        "credit_card",
+        re.compile(
+            r"(?<![\w.-])"
+            r"(?:"
+            r"\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}"          # 16, grouped
+            r"|\d{4}[ -]\d{6}[ -]\d{5}"                  # Amex 15, grouped
+            r"|4\d{12}(?:\d{3})?"                        # Visa 13/16
+            r"|5[1-5]\d{14}"                             # Mastercard 16
+            r"|3[47]\d{13}"                              # Amex 15
+            r"|6(?:011|5\d{2})\d{12}"                    # Discover 16
+            r")"
+            r"(?![\w.-])"
+        ),
+        _card_repl,
+    ),
+    (
         # phone numbers in separator-delimited 3-3-4 form, optionally with a
         # +CC prefix and parenthesized area code. A separator is REQUIRED
         # between groups: plain 10-digit runs (ids, timestamps) are not
@@ -102,6 +160,25 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
         "<IP>",
     ),
     (
+        # IPv6 (v6): whole-token colon-hex candidates (≥2 colons) validated
+        # by the stdlib parser in the replacement callable. The lookbehind
+        # blocks interior starts (hex letters are word chars), so only a
+        # token that is ENTIRELY colon-hex can match — std::vector never
+        # candidates. A pure-hex C++ path like abc::def IS a valid IPv6
+        # literal; the (- and < and ( -) trailing guard rejects the
+        # call/template forms abc::def( and abc::def<, the remaining
+        # collision is accepted and documented. v4-mapped tails
+        # (::ffff:1.2.3.4) are rejected here by the ".<digit>" guard and
+        # their dotted quad is scrubbed by ip_address instead.
+        "ipv6",
+        re.compile(
+            r"(?<![\w:.-])"
+            r"[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4}){2,7}"
+            r"(?![\w(<:]|\.\d)"
+        ),
+        _ipv6_repl,
+    ),
+    (
         "toxicity",
         re.compile(r"\b(dammit|crappy|jackass)\b", re.IGNORECASE),
         "<FLAGGED>",
@@ -112,7 +189,8 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str]] = [
 # dotted quads); v3 added private_key (PEM frames) and phone
 # (separator-delimited 3-3-4); v2 removed hex_secret's upper bound — any
 # rule-semantics change bumps this
-SCRUB_RULES_VERSION = "scrub-v5"  # v5: jwt leading-boundary guard
+# v5: jwt leading-boundary guard
+SCRUB_RULES_VERSION = "scrub-v6"  # v6: + credit_card (Luhn-gated) + ipv6
 
 
 def _inline(pat: re.Pattern) -> str:
@@ -183,6 +261,21 @@ def pii_rule_counts(content: pd.Series) -> pd.DataFrame:
     for i in idx:
         t = vals[i]
         for name, pat, repl in SCRUB_RULES:
-            t, n = pat.subn(repl, t)
+            if callable(repl):
+                # validity-gated rule: subn would count identity
+                # replacements (candidates that failed the gate) — count
+                # only matches the gate actually masked
+                n = 0
+
+                def _gated(m, _repl=repl):
+                    nonlocal n
+                    out = _repl(m)
+                    if out != m.group(0):
+                        n += 1
+                    return out
+
+                t = pat.sub(_gated, t)
+            else:
+                t, n = pat.subn(repl, t)
             counts[name][i] = n
     return pd.DataFrame(counts)

@@ -36,6 +36,9 @@ _scrubby_st = st.lists(
             # v4 rule edges: JWT segments and dotted-quad fragments
             "eyJ", "eyJhbGciOiJIUzI1NiJ9", "_-", "192.168.0.12", "255",
             "256", "10.1", ".0.", "1.2.3.4.5",
+            # v6 rule edges: card groups (valid + off-by-one) and colon-hex
+            "4111 1111 1111 1111", "4111111111111111", "1112", "4111",
+            "fe80::1", "::", ":", "ffff", "ab:cd", "2001:db8",
         ]
     ),
     max_size=12,
@@ -220,3 +223,40 @@ def test_scrub_jwt_leading_boundary_v5():
     assert scrub_text("x abc.eyJab.eyJcd.ef y") == "x abc.eyJab.eyJcd.ef y"
     assert scrub_text('t="eyJab.eyJcd.ef"') == 't="<JWT>"'
     assert scrub_text("token=eyJab.eyJcd.ef") == "token=<JWT>"
+
+
+def test_scrub_credit_card_rule_v6():
+    """v6: card-SHAPED candidates scrub only when Luhn-valid; plain digit
+    runs without a known IIN prefix are not card-shaped at all."""
+    assert scrub_text("pay 4111 1111 1111 1111 ok") == "pay <CARD> ok"
+    assert scrub_text("c=4111111111111111;") == "c=<CARD>;"
+    assert scrub_text("amex 378282246310005 x") == "amex <CARD> x"
+    assert scrub_text("mc 5555555555554444") == "mc <CARD>"
+    # Luhn-invalid candidate: byte-untouched (identity replacement)
+    assert scrub_text("id 4111 1111 1111 1112 x") == "id 4111 1111 1111 1112 x"
+    # 16-digit run with no IIN prefix and no separators: not a candidate
+    assert scrub_text("ts 1234567890123456 end") == "ts 1234567890123456 end"
+    # embedded in a longer run / dotted tail: boundary guards hold
+    assert scrub_text("94111111111111111") == "94111111111111111"
+    assert scrub_text("4111111111111111.2") == "4111111111111111.2"
+
+
+def test_scrub_ipv6_rule_v6():
+    """v6: whole-token colon-hex validated by the stdlib parser; C++
+    namespace chains, MACs and clock times never scrub."""
+    assert (
+        scrub_text("a 2001:0db8:85a3:0000:0000:8a2e:0370:7334 b")
+        == "a <IP6> b"
+    )
+    assert scrub_text("ping fe80::1 now") == "ping <IP6> now"
+    assert scrub_text("[::1]:8080") == "[<IP6>]:8080"
+    assert scrub_text("std::vector<int> v; boost::asio::ip x") == (
+        "std::vector<int> v; boost::asio::ip x"
+    )
+    assert scrub_text("abc::def(1)") == "abc::def(1)"  # call-form guard
+    assert scrub_text("tpl abc::def<int>") == "tpl abc::def<int>"
+    assert scrub_text("00:1a:2b:3c:4d:5e") == "00:1a:2b:3c:4d:5e"  # MAC
+    assert scrub_text("at 12:30:45 sharp") == "at 12:30:45 sharp"
+    assert scrub_text("a::b::c") == "a::b::c"  # two '::' — parser rejects
+    # v4-mapped: the v6 rule declines (dotted tail); ip_address takes the quad
+    assert scrub_text("x ::ffff:192.168.0.1 y") == "x ::ffff:<IP> y"
