@@ -3173,8 +3173,11 @@ def q_semdedup(spark, sf_dir):
         .select("vec_id", F.col("pv").alias("v"))
     )
     e = base.unionByName(planted)
+    # max_cluster_size: the degenerate-cluster guard is load-bearing here —
+    # oversized clusters run the salted block rounds + final exact pass;
+    # every invariant below is guard-path-independent
     sem = SIM.semdedup(
-        e, "vec_id", "v", n_clusters=8, tau=tau, seed=7
+        e, "vec_id", "v", n_clusters=8, tau=tau, seed=7, max_cluster_size=200
     ).localCheckpoint(eager=False)
     vec = e.withColumn("n", F.sqrt(SIM._dot(F.col("v"), F.col("v"))))
     s = sem.join(vec, "vec_id")

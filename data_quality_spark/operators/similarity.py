@@ -192,6 +192,7 @@ def semdedup(
     n_clusters: int = 16,
     tau: float = 0.95,
     seed: int = 7,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication — k-means
     cluster the embeddings, then within each cluster drop every vector
@@ -209,7 +210,36 @@ def semdedup(
 
     Returns (key, cluster, is_kept int, dominator key or null)."""
     assigned, _ = ivf_index(df, key_col, vec_col, n_clusters, seed)
-    return semdedup_from_assigned(assigned, key_col, vec_col, tau)
+    return semdedup_from_assigned(
+        assigned, key_col, vec_col, tau, max_cluster_size=max_cluster_size
+    )
+
+
+def _dominance(frame: DataFrame, group_cols: list[str], tau: float) -> DataFrame:
+    """(kb, dominator) for every vector with a LOWER-keyed τ-neighbor in
+    its group — the one quadratic primitive, keyed by ``group_cols`` so
+    its pair cost is Σ|group|²/2 and each group's pairs co-locate in one
+    shuffle partition. ``frame`` carries (k, v, n) + group cols; norms are
+    pre-materialized (no-CSE rule)."""
+    a = frame.select(
+        *group_cols, F.col("k").alias("ka"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = frame.select(
+        *group_cols, F.col("k").alias("kb"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, group_cols)
+        .filter(F.col("ka") < F.col("kb"))
+        .withColumn(
+            "cos",
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= tau)
+        .groupBy("kb")
+        .agg(F.min("ka").alias("dominator"))
+    )
 
 
 def semdedup_from_assigned(
@@ -218,36 +248,86 @@ def semdedup_from_assigned(
     vec_col: str,
     tau: float = 0.95,
     cluster_col: str = "ivf_cluster",
+    max_cluster_size: int | None = None,
+    block_rounds: int = 3,
 ) -> DataFrame:
     """The dominance stage of :func:`semdedup` over a precomputed cluster
     assignment (lets the scaling probe time fit and pair stages
     separately; in production the assignment IS the persisted IVF
-    layout, so this is also the steady-state entry point)."""
+    layout, so this is also the steady-state entry point).
+
+    ``max_cluster_size`` is the DEGENERATE-CLUSTER GUARD: the pair join's
+    Σ|cluster|² cost is n²/k only while k-means stays balanced — one dense
+    near-dup mass collapses into one cluster and re-quadratizes the join
+    (the exact failure clustering exists to prevent). With a cap, every
+    cluster larger than the cap is salted into ⌈size/cap⌉ hash blocks and
+    dominance runs WITHIN blocks (≤ cap²/2 pairs per block, ≈ size·cap/2
+    per cluster per round — linear in size); dropped vectors leave, the
+    survivors re-block with a fresh salt, and after ``block_rounds`` a
+    final exact within-cluster pass over the (now shrunken) survivors
+    restores the kept-set-pairwise-<τ postcondition. On the pathological
+    single-mass corpus each block's dominance drops everything but ~its
+    minimum, so survivors collapse to ~size/cap after one round and the
+    final pass is tiny. A cluster that is oversized yet has NO near-dups
+    never shrinks and the final pass pays the inherent quadratic — no
+    algorithm preserving the exact postcondition can avoid comparing a
+    pairwise-dissimilar set.
+
+    Guard semantics vs the unguarded path (disclosed design point, same
+    family as the min-key-vs-greedy note): a vector inside an oversized
+    cluster is dropped only when a dominator shares its block in some
+    round or survives to the final pass — strictly fewer drops than the
+    any-lower-keyed-mate rule, while every recorded dominator is still a
+    lower-keyed cluster-mate with cos ≥ τ and the kept set stays pairwise
+    < τ within every cluster (the invariants the driver row verifies).
+    Deterministic: blocks are xxhash64(key, round)-assigned."""
     base = assigned.select(
         F.col(key_col).alias("k"),
         F.col(cluster_col).alias("c"),
         F.col(vec_col).alias("v"),
     ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a = base.select(
-        F.col("k").alias("ka"), F.col("c"),
-        F.col("v").alias("va"), F.col("n").alias("na"),
-    )
-    b = base.select(
-        F.col("k").alias("kb"), F.col("c"),
-        F.col("v").alias("vb"), F.col("n").alias("nb"),
-    )
-    dom = (
-        a.join(b, "c")
-        .filter(F.col("ka") < F.col("kb"))
-        .withColumn(
-            "cos",
-            _dot(F.col("va"), F.col("vb"))
-            / (F.col("na") * F.col("nb")),
-        )
-        .filter(F.col("cos") >= tau)
-        .groupBy("kb")
-        .agg(F.min("ka").alias("dominator"))
-    )
+    if max_cluster_size is None:
+        dom = _dominance(base, ["c"], tau)
+    else:
+        base = base.localCheckpoint(eager=False)  # reused across rounds
+        surv = base
+        doms: list[DataFrame] = []
+        for r in range(block_rounds):
+            sizes = surv.groupBy("c").agg(F.count("*").alias("_sz"))
+            # bounded collect: one row per cluster (k is small by design)
+            over = [
+                row["c"]
+                for row in sizes.filter(
+                    F.col("_sz") > max_cluster_size
+                ).collect()
+            ]
+            if not over:
+                break
+            blocked = (
+                surv.filter(F.col("c").isin(over))
+                .join(F.broadcast(sizes), "c")
+                .withColumn(
+                    "_B",
+                    F.ceil(F.col("_sz") / F.lit(max_cluster_size)).cast("int"),
+                )
+                .withColumn(
+                    "_blk",
+                    F.pmod(F.xxhash64(F.col("k"), F.lit(r)), F.col("_B")),
+                )
+            )
+            dom_r = _dominance(
+                blocked.select("c", "_blk", "k", "v", "n"), ["c", "_blk"], tau
+            ).localCheckpoint(eager=False)
+            doms.append(dom_r)
+            surv = surv.join(
+                dom_r.select(F.col("kb").alias("k")), "k", "left_anti"
+            ).localCheckpoint(eager=False)
+        # final exact pass restores pairwise-<τ among the survivors
+        doms.append(_dominance(surv, ["c"], tau))
+        dom = doms[0]
+        for d in doms[1:]:
+            dom = dom.unionByName(d)
+        dom = dom.groupBy("kb").agg(F.min("dominator").alias("dominator"))
     return base.join(dom, base.k == dom.kb, "left").select(
         F.col("k").alias(key_col),
         F.col("c").alias("cluster"),

@@ -68,3 +68,78 @@ def test_semdedup_kept_set_pairwise_below_tau(spark):
         .count()
     )
     assert viol == 0
+
+
+def test_semdedup_degenerate_single_mass_guard(spark):
+    """Pathological corpus for the max_cluster_size guard: ONE dense
+    near-dup mass (pairwise cosine ≈ 1) that any k-means collapses into a
+    single cluster. Unguarded pair cost would be C(n,2); the guard must
+    (a) keep the examined-pair budget near-linear, (b) still produce a
+    kept set pairwise < tau within every cluster, and (c) record only
+    valid dominators (lower-keyed cluster-mates at cos ≥ tau)."""
+    import math
+
+    n, cap, tau = 600, 50, 0.99
+    rows = [
+        (i, [1.0, 1e-6 * (i % 7), 1e-6 * (i % 11)]) for i in range(n)
+    ]
+    df = _vecs(spark, rows)
+    sem = semdedup(
+        df, "vec_id", "v", n_clusters=4, tau=tau, seed=7,
+        max_cluster_size=cap,
+    )
+    out = sem.collect()
+    assert len(out) == n
+    kept = [r for r in out if r["is_kept"] == 1]
+    # the mass is pairwise >= tau, so at most one keeper per cluster
+    clusters = {r["cluster"] for r in out}
+    assert 1 <= len(kept) <= len(clusters)
+    by_id = {r["vec_id"]: r for r in out}
+    for r in out:
+        if r["is_kept"] == 0:
+            d = by_id[r["dominator"]]
+            assert r["dominator"] < r["vec_id"]
+            assert d["cluster"] == r["cluster"]
+
+    # pair-budget bound, reconstructed from the guard's deterministic
+    # blocking: round-1 examines sum-per-block C(s,2); survivors after
+    # round 1 are ~one per block, so the final pass is tiny. Assert the
+    # total is an order of magnitude under the unguarded C(n,2).
+    from collections import Counter
+
+    sizes = Counter()
+    blk = (
+        df.withColumn("_B", F.lit(math.ceil(n / cap)))
+        .withColumn("_blk", F.pmod(F.xxhash64(F.col("vec_id"), F.lit(0)), F.col("_B")))
+        .groupBy("_blk").count().collect()
+    )
+    round1 = sum(r["count"] * (r["count"] - 1) // 2 for r in blk)
+    n_blocks = len(blk)
+    worst_final = n_blocks * (n_blocks - 1) // 2  # ~1 survivor per block
+    budget = round1 + worst_final
+    assert budget <= 3 * n * cap  # near-linear in n
+    assert budget < (n * (n - 1) // 2) / 10  # >=10x under unguarded
+
+
+def test_semdedup_guard_noop_on_balanced_clusters(spark):
+    """With every cluster under the cap the guarded path must equal the
+    unguarded path row-for-row (the guard only activates when oversized)."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]
+        rows.append(
+            (i, [base[0] + rng.uniform(-0.05, 0.05),
+                 base[1] + rng.uniform(-0.05, 0.05), rng.uniform(0, 0.05)])
+        )
+    df = _vecs(spark, rows)
+    plain = semdedup(df, "vec_id", "v", n_clusters=4, tau=0.995, seed=7)
+    guarded = semdedup(
+        df, "vec_id", "v", n_clusters=4, tau=0.995, seed=7,
+        max_cluster_size=100,
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, guarded.collect()))
+    assert a == b
