@@ -146,6 +146,27 @@ BENCH_QUERIES = [
     "vocab_topk",
     "semi_join",
     "string_render",
+    # -- round 5: complete coverage — every queries() entry is benched so
+    #    position effects can't hide drift on the cheap/self-validating ops
+    "resume_pending",
+    "decode_join",
+    "doc_chunks",
+    "events_json",
+    "split_row",
+    "sample_stratified",
+    "set_ops",
+    "heavy_hitters",
+    "pipeline_keep_drop",
+    "pipeline_metrics",
+    "estimator_quality",
+    "transpose_metrics",
+    "embed_cosine_dup",
+    "embed_ivf_topk",
+    "symbolic_sequences",
+    "agreement_score",
+    "quality_binarize",
+    "doc_heuristics",
+    "doc_langid",
 ]
 
 

@@ -93,13 +93,17 @@ def test_every_query_is_oracle_checked_or_documented():
     assert set(ORACLE) <= set(ALL)  # no orphan oracles
 
 
-def test_bench_list_is_subset_of_queries():
-    """bench.py's BENCH_QUERIES must never drift from the driver contract
-    (a renamed query would silently drop out of the timed suite)."""
+def test_bench_list_matches_queries_exactly():
+    """bench.py's BENCH_QUERIES must cover EVERY queries() entry (round-5
+    contract: no query is ever invisible to the timed suite, so position
+    effects and perf drift can't hide on unbenched ops) and must contain
+    nothing the driver contract doesn't know about."""
     import bench
 
     missing = [n for n in bench.BENCH_QUERIES if n not in ALL]
     assert not missing, missing
+    unbenched = [n for n in ALL if n not in bench.BENCH_QUERIES]
+    assert not unbenched, f"queries absent from bench.py: {unbenched}"
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
 
 
