@@ -292,17 +292,30 @@ def semdedup_from_assigned(
         base = base.localCheckpoint(eager=False)  # reused across rounds
         surv = base
         doms: list[DataFrame] = []
+        prev_pop: int | None = None
         for r in range(block_rounds):
             sizes = surv.groupBy("c").agg(F.count("*").alias("_sz"))
             # bounded collect: one row per cluster (k is small by design)
-            over = [
-                row["c"]
-                for row in sizes.filter(
-                    F.col("_sz") > max_cluster_size
-                ).collect()
-            ]
+            over_rows = sizes.filter(
+                F.col("_sz") > max_cluster_size
+            ).collect()
+            over = [row["c"] for row in over_rows]
             if not over:
                 break
+            # Drop-rate early exit: block rounds only pay off when the
+            # oversized clusters are DENSE in near-dups (the degenerate
+            # mass shrinks ~size/cap in one round). A mildly-oversized
+            # but sparse cluster never shrinks, every further round is
+            # pure overhead, and the final exact pass pays its inherent
+            # quadratic regardless — so when a round shrinks the
+            # oversized population by <10%, stop blocking and go
+            # straight to the final pass. (Measured: healthy sf0.1
+            # driver clusters, 250 vecs vs cap 200, 4 drops total —
+            # 3 rounds 15.9 s vs 1 round + final ~8 s, same output.)
+            pop = sum(row["_sz"] for row in over_rows)
+            if prev_pop is not None and pop > 0.9 * prev_pop:
+                break
+            prev_pop = pop
             blocked = (
                 surv.filter(F.col("c").isin(over))
                 .join(F.broadcast(sizes), "c")
