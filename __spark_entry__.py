@@ -3916,6 +3916,109 @@ def _sql_decontaminate_fuzzy() -> str:
     """
 
 
+MEDIA_N_BASE = 24  # 72 media docs: (original, byte copy, near-dup) per base
+MEDIA_SEED = 23
+
+
+def q_media_dedup(spark, sf_dir):
+    """Multimodal dedup — the media (binary image) column as a first-class
+    dedup citizen (multimodal/dedup.py): digest-exact dedup + dHash
+    perceptual near-dup with Hamming-band LSH. DuckDB cannot decode PNG,
+    so the query is self-validating (the pipeline_keep_drop / semdedup
+    discipline) over the deterministic planted-duplicate corpus
+    (synthetic_image_dup_df: per base i, doc 3i = original, 3i+1 =
+    byte-exact copy, 3i+2 = near-duplicate with ≤6 flipped dHash bits):
+    - n_docs: corpus size (pinned 3·MEDIA_N_BASE);
+    - exact_multi_groups: digest groups with >1 copy — exactly the planted
+      byte-copies (pinned MEDIA_N_BASE), keepers_aligned verifies every
+      keeper is the min-keyed original (3i);
+    - near_pairs: LSH candidate-verified Hamming≤7 pairs. Every planted
+      triple is fully connected (3 pairs) and the seed-fixed random grids
+      produce no cross-triple collisions → pinned 3·MEDIA_N_BASE, with
+      within_triple/cross_triple split proving both claims separately;
+    - lsh_matches_brute: an exact all-pairs Hamming scan (test scale only)
+      reproduces the LSH pair set row-for-row — the in-query proof of the
+      pigeonhole exact-recall claim (hamming ≤ N_BANDS-1 ⇒ ≥1 identical
+      band ⇒ the band-bucket join collides the pair)."""
+    from data_quality_spark.multimodal.dedup import (
+        media_exact_dedup,
+        media_near_pairs,
+        media_near_pairs_brute,
+        media_phash,
+        synthetic_image_dup_df,
+    )
+
+    df = synthetic_image_dup_df(spark, n_base=MEDIA_N_BASE, seed=MEDIA_SEED)
+    # ONE Arrow decode pass, reused by the LSH and brute sides
+    ph = media_phash(df).localCheckpoint(eager=False)
+    lsh = media_near_pairs(ph).localCheckpoint(eager=False)
+    sym = (
+        lsh.withColumnRenamed("hamming", "h_lsh")
+        .join(
+            media_near_pairs_brute(ph).withColumnRenamed(
+                "hamming", "h_brute"
+            ),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .withColumn(
+            "mismatch",
+            (
+                F.col("h_lsh").isNull()
+                | F.col("h_brute").isNull()
+                | (F.col("h_lsh") != F.col("h_brute"))
+            ).cast("long"),
+        )
+        .agg(F.sum("mismatch").alias("n_mismatch"))
+    )
+    ex = media_exact_dedup(df).agg(
+        F.sum((F.col("n_copies") > 1).cast("long")).alias("multi"),
+        F.sum(
+            ((F.col("n_copies") > 1) & (F.col("keeper") % 3 != 0)).cast(
+                "long"
+            )
+        ).alias("bad_keepers"),
+    )
+    pairs = lsh.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            (
+                F.floor(F.col("id_a") / 3) == F.floor(F.col("id_b") / 3)
+            ).cast("long")
+        ).alias("within"),
+    )
+    return (
+        df.agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(sym))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("multi").cast("bigint").alias("exact_multi_groups"),
+            (F.col("bad_keepers") == 0).cast("int").alias("keepers_aligned"),
+            F.col("n_pairs").cast("bigint").alias("near_pairs"),
+            F.col("within").cast("bigint").alias("within_triple"),
+            (F.col("n_pairs") - F.col("within"))
+            .cast("bigint")
+            .alias("cross_triple"),
+            (F.coalesce(F.col("n_mismatch"), F.lit(0)) == 0)
+            .cast("int")
+            .alias("lsh_matches_brute"),
+        )
+    )
+
+
+SQL_MEDIA_DEDUP = f"""
+    SELECT CAST({3 * MEDIA_N_BASE} AS BIGINT) AS n_docs,
+           CAST({MEDIA_N_BASE} AS BIGINT) AS exact_multi_groups,
+           1 AS keepers_aligned,
+           CAST({3 * MEDIA_N_BASE} AS BIGINT) AS near_pairs,
+           CAST({3 * MEDIA_N_BASE} AS BIGINT) AS within_triple,
+           CAST(0 AS BIGINT) AS cross_triple,
+           1 AS lsh_matches_brute
+"""
+
+
 # Queries whose IMPLEMENTING CODE changed this round after their last
 # driver-checked round — the guard test forces every one of these into the
 # current 50-entry driver window so no query ever ships on a stale driver
@@ -3933,6 +4036,7 @@ CHANGED_THIS_ROUND = [
     "pii_report",           # scrub-v6 rule additions
     "sessionized_counts",   # (ts, event_id) cumsum-order oracle fix (late r4)
     "heavy_hitters",        # strict-> freqItems contract fix (late r4)
+    "media_dedup",          # NEW in r5: multimodal dedup driver query
 ]
 
 
@@ -3989,6 +4093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_counts": q_sessionized_counts,
         "heavy_hitters": q_heavy_hitters,
         # -- new in round 5 (inserted here as built) --
+        "media_dedup": q_media_dedup,
         # -- r4-green fill (re-confirmation bonus) --
         "pipeline_keep_drop": q_pipeline_keep_drop,
         "pipeline_metrics": q_pipeline_metrics,
@@ -4074,6 +4179,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality": SQL_SOURCE_QUALITY,
         "bpe_encode": _sql_bpe_encode(),
         "semdedup": SQL_SEMDEDUP,
+        "media_dedup": SQL_MEDIA_DEDUP,
         "fork_apply": SQL_FORK_APPLY,
         "pii_report": _sql_pii_report(),
         "ngram_diversity": SQL_NGRAM_DIVERSITY,

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "source_quality",
     "dsir_weights",
     "semdedup",
+    "media_dedup",
     "fork_apply",
     "pii_report",
     "ngram_diversity",

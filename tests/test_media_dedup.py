@@ -1,0 +1,117 @@
+"""Multimodal dedup (multimodal/dedup.py): digest-exact media dedup and
+dHash perceptual near-dup with Hamming-band LSH over planted duplicate
+images."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.multimodal.binary import decode_png_pixels
+from data_quality_spark.multimodal.dedup import (
+    N_BANDS,
+    dhash_bands,
+    media_exact_dedup,
+    media_near_pairs,
+    media_near_pairs_brute,
+    media_phash,
+    synthetic_image_dup_df,
+)
+
+N_BASE = 8  # 24 docs: per base i -> (3i original, 3i+1 byte copy, 3i+2 near)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    return synthetic_image_dup_df(spark, n_base=N_BASE, seed=23).cache()
+
+
+@pytest.fixture(scope="module")
+def phashed(spark, media_df):
+    # decode once, shared by the LSH and brute tests
+    return media_phash(media_df).cache()
+
+
+def test_dhash_core_deterministic_and_noise_stable():
+    rng = np.random.default_rng(3)
+    px = np.kron(
+        rng.permutation(15)[:9] * 16 * np.ones((8, 1), dtype=np.uint8),
+        np.ones((4, 4), dtype=np.uint8),
+    ).astype(np.uint8)
+    bands = dhash_bands(px)
+    assert bands == dhash_bands(px)  # pure function
+    assert len(bands) == N_BANDS and all(0 <= b <= 255 for b in bands)
+    # +-1 noise on 5% of pixels shifts any 4x4-block mean by <= 1 gray
+    # level -- far under the >=16-level block contrast -> no bit flips
+    noisy = np.clip(
+        px.astype(np.int16)
+        + (rng.random(px.shape) < 0.05) * rng.choice([-1, 1], px.shape),
+        0, 255,
+    ).astype(np.uint8)
+    assert dhash_bands(noisy) == bands
+
+
+def test_media_exact_dedup_planted_copies(media_df):
+    groups = media_exact_dedup(media_df).collect()
+    # originals+byte-copies collapse (n_copies=2, keeper=3i); near-dups
+    # are byte-distinct singletons
+    multi = [g for g in groups if g["n_copies"] > 1]
+    assert len(multi) == N_BASE
+    assert all(g["n_copies"] == 2 and g["keeper"] % 3 == 0 for g in multi)
+    assert len(groups) == 2 * N_BASE  # N_BASE pairs + N_BASE singletons
+
+
+def test_media_phash_copy_identical_near_within_budget(phashed):
+    rows = {r["doc_id"]: r["phash_bands"] for r in phashed.collect()}
+    assert len(rows) == 3 * N_BASE
+    for i in range(N_BASE):
+        assert rows[3 * i] == rows[3 * i + 1]  # byte copy: same pixels
+        ham = sum(
+            bin(a ^ b).count("1")
+            for a, b in zip(rows[3 * i], rows[3 * i + 2])
+        )
+        # <=3 re-levelled blocks flip <=2 bits each; noise flips none
+        assert ham <= 2 * 3 <= N_BANDS - 1
+
+
+def test_media_near_pairs_lsh_equals_brute(phashed):
+    lsh = sorted(map(tuple, media_near_pairs(phashed).collect()))
+    brute = sorted(map(tuple, media_near_pairs_brute(phashed).collect()))
+    assert lsh == brute  # pigeonhole: recall is exactly 1 at <= N_BANDS-1
+    pairs = {(a, b) for a, b, _ in lsh}
+    for i in range(N_BASE):  # every planted triple fully connected
+        assert (3 * i, 3 * i + 1) in pairs
+        assert (3 * i, 3 * i + 2) in pairs
+        assert (3 * i + 1, 3 * i + 2) in pairs
+    # no cross-triple collisions at this seed (distinct random grids)
+    assert all(a // 3 == b // 3 for a, b in pairs)
+
+
+def test_media_near_pairs_rejects_void_pigeonhole(phashed):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        media_near_pairs(phashed, max_hamming=N_BANDS)
+
+
+def test_phash_matches_local_decode(media_df, phashed):
+    # Spark Arrow path == driver-side numpy core on the same payloads
+    local = {
+        r["doc_id"]: dhash_bands(decode_png_pixels(bytes(r["media"]))[0])
+        for r in media_df.select("doc_id", "media").collect()
+    }
+    spark_side = {
+        r["doc_id"]: list(r["phash_bands"]) for r in phashed.collect()
+    }
+    assert spark_side == local
+
+
+def test_exact_dedup_plan_never_shuffles_media_bytes(media_df):
+    # the shuffle carries (digest, key) only -- no binary column may
+    # appear above the first projection
+    plan = (
+        media_exact_dedup(media_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in plan
+    post_exchange = plan.split("Exchange", 1)[0]
+    assert "media#" not in post_exchange  # agg side sees digest+key only
