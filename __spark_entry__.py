@@ -464,8 +464,9 @@ def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer fit (operators/bpe.fit_bpe_merges) over the
     deterministic pipeline corpus: one corpus-scale word-count pass, then
     dictionary-sized merge rounds (pair-count agg + O(1)-row argmax collect
-    + higher-order-fold rewrite, localCheckpoint per round). The oracle is
-    the single-process greedy reference on the same word counts."""
+    + Arrow-batched dictionary rewrite — the measured 2x engine default,
+    BENCH.md r5 fixed-cost table — localCheckpoint per round). The oracle
+    is the single-process greedy reference on the same word counts."""
     from data_quality_spark.corpus import generate_files_df
     from data_quality_spark.operators.bpe import fit_bpe_merges
 
@@ -3092,8 +3093,9 @@ def _bpe_artifact_merges() -> tuple:
 def q_bpe_encode(spark, sf_dir):
     """BPE tokenizer APPLY over the corpus with the frozen merge artifact:
     per-(stratum, lang) doc/word/token counts. Vocabulary-mediated — each
-    distinct word is encoded once on the dictionary frame, the corpus side
-    is a narrow explode + dictionary join + map-side aggregate
+    distinct word is encoded once on the dictionary frame (Arrow replay,
+    the measured 8.5x engine default — BENCH.md r5 fixed-cost table), the
+    corpus side is a narrow explode + dictionary join + map-side aggregate
     (operators/bpe.apply_bpe_merges)."""
     from data_quality_spark.corpus import generate_files_df
     from data_quality_spark.operators.bpe import apply_bpe_merges

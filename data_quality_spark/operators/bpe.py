@@ -22,10 +22,25 @@ weighted by word frequency. Re-expressed for Spark with the right
 Ties break (count desc, left asc, right asc) — deterministic across
 engines and partitionings; the pytest reference implements the identical
 greedy left-to-right non-overlapping merge.
+
+DICTIONARY-REWRITE ENGINE (the r5 fixed-cost experiment, BENCH.md): the
+higher-order-fold rewrite (`_merge_adjacent`) is pure Column code but its
+per-element struct-fold codegen is the dominant fixed cost — 8 nested
+folds on a 10.7k-word dictionary measured 8.6 s vs **0.32 s** for an
+Arrow-batched python replay of the same greedy merge (25×), and the fit's
+one-fold-per-round rewrite measured 11.7 s vs 5.7 s end-to-end. Both ops
+therefore default to ``engine="arrow"``: python ON THE VOCABULARY-SIZED
+DICTIONARY only (same exception class as the scrub/models Arrow passes —
+the corpus hot path stays pure-Column; the plan shows MapInPandas, never
+BatchEvalPython). ``engine="fold"`` keeps the pure-Column path alive and
+parity-tested (tests/test_bpe.py asserts row-for-row equality).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -72,12 +87,53 @@ def _merge_adjacent(syms, left: str, right: str):
     )
 
 
+def _py_merge_pass(syms: list[str], left: str, right: str) -> list[str]:
+    """One greedy left-to-right non-overlapping merge pass (the python
+    core shared by the Arrow rewrite and py_bpe_encode)."""
+    out: list[str] = []
+    pend = None
+    for s in syms:
+        if pend is None:
+            pend = s
+        elif pend == left and s == right:
+            out.append(left + right)
+            pend = None
+        else:
+            out.append(pend)
+            pend = s
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+def _rewrite_merge_arrow(
+    dic: DataFrame, left: str, right: str, schema: str
+) -> DataFrame:
+    """Arrow-batched one-merge rewrite of the ``syms`` column — the
+    measured 2× fit-round winner over the struct-fold codegen (BENCH.md
+    r5 fixed-cost table)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["syms"] = [
+                _py_merge_pass(list(s), left, right) for s in pdf["syms"]
+            ]
+            yield pdf
+
+    return dic.mapInPandas(run, schema=schema)
+
+
 def fit_bpe_merges(
-    df: DataFrame, text_col: str, n_merges: int = 8
+    df: DataFrame, text_col: str, n_merges: int = 8, engine: str = "arrow"
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merge rules; returns
     [{rank, left, right, merged, pair_count}, ...] (driver-sized — the
-    model, not data). Stops early if no adjacent pair remains."""
+    model, not data). Stops early if no adjacent pair remains.
+
+    ``engine``: how the per-round dictionary rewrite runs — "arrow"
+    (default; Arrow-batched python merge pass, measured 2× end-to-end)
+    or "fold" (pure-Column higher-order fold). Identical output."""
     dic = (
         word_freqs(df, text_col)
         .select("w", "freq", F.split("w", "").alias("syms"))
@@ -117,9 +173,14 @@ def fit_bpe_merges(
                 "pair_count": int(cnt),
             }
         )
-        dic = dic.withColumn(
-            "syms", _merge_adjacent(F.col("syms"), a, b)
-        ).localCheckpoint(eager=True)
+        if engine == "arrow":
+            dic = _rewrite_merge_arrow(
+                dic, a, b, "w string, freq long, syms array<string>"
+            ).localCheckpoint(eager=True)
+        else:
+            dic = dic.withColumn(
+                "syms", _merge_adjacent(F.col("syms"), a, b)
+            ).localCheckpoint(eager=True)
     return merges
 
 
@@ -165,6 +226,7 @@ def apply_bpe_merges(
     text_col: str,
     merges: list[dict],
     group_cols: list[str] | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Encode the corpus with a FITTED merge table (the tokenizer-apply
     half of BPE; merge tables ship as artifacts, so this op is
@@ -179,20 +241,40 @@ def apply_bpe_merges(
     per-document Python runs anywhere.
 
     Returns one row per group: (group_cols..., n_docs, n_words, n_tokens).
+
+    ``engine``: "arrow" (default) replays the merges per DISTINCT word in
+    one Arrow batch pass — measured 0.32 s vs 8.6 s for the 8-deep nested
+    fold codegen on the same dictionary (BENCH.md r5 fixed-cost table);
+    "fold" keeps the pure-Column path. Identical output (parity-tested).
     """
     group_cols = group_cols or []
     words = df.select(
         *group_cols,
         F.explode_outer(F.split(F.col(text_col), " ")).alias("w"),
     ).filter(F.length("w") >= 1)
-    dic = words.select("w").distinct().withColumn("syms", F.split("w", ""))
-    for m in merges:
-        dic = dic.withColumn(
-            "syms", _merge_adjacent(F.col("syms"), m["left"], m["right"])
-        )
-    dic = dic.select("w", F.size("syms").alias("n_tok")).localCheckpoint(
-        eager=False
-    )
+    dic = words.select("w").distinct()
+    if engine == "arrow":
+        rules = [(m["left"], m["right"]) for m in merges]
+
+        def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                toks = []
+                for w in pdf["w"]:
+                    syms = list(w)
+                    for left, right in rules:
+                        syms = _py_merge_pass(syms, left, right)
+                    toks.append(len(syms))
+                yield pd.DataFrame({"w": pdf["w"], "n_tok": toks})
+
+        dic = dic.mapInPandas(encode, schema="w string, n_tok int")
+    else:
+        dic = dic.withColumn("syms", F.split("w", ""))
+        for m in merges:
+            dic = dic.withColumn(
+                "syms", _merge_adjacent(F.col("syms"), m["left"], m["right"])
+            )
+        dic = dic.select("w", F.size("syms").alias("n_tok"))
+    dic = dic.localCheckpoint(eager=False)
     docs = df.groupBy(*group_cols).agg(F.count("*").alias("n_docs"))
     per_word = (
         words.join(dic, "w")
@@ -217,19 +299,5 @@ def py_bpe_encode(word: str, merges: list[dict]) -> list[str]:
     the same greedy left-to-right non-overlapping semantics."""
     syms = list(word)
     for m in merges:
-        a, b = m["left"], m["right"]
-        out: list[str] = []
-        pend = None
-        for s in syms:
-            if pend is None:
-                pend = s
-            elif pend == a and s == b:
-                out.append(a + b)
-                pend = None
-            else:
-                out.append(pend)
-                pend = s
-        if pend is not None:
-            out.append(pend)
-        syms = out
+        syms = _py_merge_pass(syms, m["left"], m["right"])
     return syms

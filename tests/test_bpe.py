@@ -96,3 +96,48 @@ def test_apply_bpe_merges_keeps_wordless_groups(spark):
     assert out["b"]["n_docs"] == 2
     assert out["b"]["n_words"] == 0 and out["b"]["n_tokens"] == 0
     assert out["a"]["n_words"] == 2
+
+
+def test_fit_engines_identical(spark):
+    """engine='fold' (pure-Column HOF rewrite) and engine='arrow'
+    (Arrow-batched python replay) must fit identical merge tables — the
+    parity that lets arrow be the measured-25x default (BENCH.md r5)."""
+    import random
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "aa", "abba", "racecar", "qq"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 9)))
+        for _ in range(25)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    assert fit_bpe_merges(df, "content", 6, engine="fold") == fit_bpe_merges(
+        df, "content", 6, engine="arrow"
+    )
+
+
+def test_apply_engines_identical(spark):
+    from data_quality_spark.operators.bpe import apply_bpe_merges
+
+    df = spark.createDataFrame(
+        [("a", "low lower lowest aaa"), ("b", "banana abab"), ("b", "x")],
+        "g string, content string",
+    )
+    merges = fit_bpe_merges(df, "content", 5)
+    fold = sorted(
+        map(
+            tuple,
+            apply_bpe_merges(
+                df, "content", merges, ["g"], engine="fold"
+            ).collect(),
+        )
+    )
+    arrow = sorted(
+        map(
+            tuple,
+            apply_bpe_merges(
+                df, "content", merges, ["g"], engine="arrow"
+            ).collect(),
+        )
+    )
+    assert fold == arrow
