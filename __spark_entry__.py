@@ -4021,6 +4021,143 @@ SQL_MEDIA_DEDUP = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (Kudo 2018 / SentencePiece family)
+
+UNI_VOCAB_SIZE = 96
+UNI_N_EM = 2
+UNI_MAX_PIECE = 4
+UNI_MIN_COUNT = 2
+UNI_SEED_SIZE = 512
+
+
+@functools.lru_cache(maxsize=1)
+def _unigram_word_counts() -> tuple:
+    from collections import Counter
+
+    from data_quality_spark.corpus import generate_files_pdf
+
+    pdf = generate_files_pdf(n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    wc: Counter = Counter()
+    for content in pdf.content:
+        for w in content.split(" "):
+            if w:
+                wc[w] += 1
+    return tuple(sorted(wc.items()))
+
+
+@functools.lru_cache(maxsize=1)
+def _unigram_artifact_model() -> tuple:
+    """Frozen unigram model artifact: the single-process reference fit
+    (operators/unigram.py_unigram_reference — same Decimal cores the
+    distributed fit runs, the CLAUDE.md shared-core convention) over the
+    deterministic pipeline corpus. q_unigram_fit proves the DISTRIBUTED
+    fit matches this exactly; q_unigram_encode then applies it."""
+    from data_quality_spark.operators.unigram import py_unigram_reference
+
+    model = py_unigram_reference(
+        dict(_unigram_word_counts()),
+        vocab_size=UNI_VOCAB_SIZE,
+        n_em=UNI_N_EM,
+        max_piece_len=UNI_MAX_PIECE,
+        min_count=UNI_MIN_COUNT,
+        seed_size=UNI_SEED_SIZE,
+    )
+    return tuple((m["piece"], m["count"], m["prob"]) for m in model)
+
+
+def q_unigram_fit(spark, sf_dir):
+    """Unigram-LM tokenizer fit (operators/unigram.fit_unigram): ONE
+    corpus word-count pass, then hard-EM rounds on the distinct-word
+    dictionary (Arrow Viterbi pass + exact-long count aggregate per
+    round, model-bounded collects — the seed pass is a distributed
+    (count desc, piece asc) sort-limit). All probability arithmetic is
+    driver-side quantized Decimal, so the fit is partition- and
+    platform-deterministic; the oracle pins the reference fit's exact
+    (piece, count, prob) rows."""
+    from data_quality_spark.corpus import generate_files_df
+    from data_quality_spark.operators.unigram import fit_unigram
+
+    files = generate_files_df(spark, n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    model = fit_unigram(
+        files,
+        "content",
+        vocab_size=UNI_VOCAB_SIZE,
+        n_em=UNI_N_EM,
+        max_piece_len=UNI_MAX_PIECE,
+        min_count=UNI_MIN_COUNT,
+        seed_size=UNI_SEED_SIZE,
+    )
+    return spark.createDataFrame(
+        [(m["piece"], m["count"], m["prob"]) for m in model],
+        "piece string, n bigint, prob string",
+    )
+
+
+def _sql_unigram_fit() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = " UNION ALL ".join(
+        f"SELECT {q(p)} AS piece, CAST({c} AS BIGINT) AS n, {q(pr)} AS prob"
+        for p, c, pr in _unigram_artifact_model()
+    )
+    return rows
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Unigram tokenizer APPLY with the frozen model artifact: per-lang
+    doc/word/token/OOV counts. Vocabulary-mediated like BPE apply — each
+    DISTINCT word is Viterbi-segmented once on the dictionary frame (one
+    Arrow pass, exact Decimal scoring), the corpus side is a narrow
+    explode + dictionary join + map-side aggregate
+    (operators/unigram.apply_unigram)."""
+    from data_quality_spark.corpus import generate_files_df
+    from data_quality_spark.operators.unigram import apply_unigram
+
+    files = generate_files_df(spark, n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    model = [
+        {"piece": p, "count": c, "prob": pr}
+        for p, c, pr in _unigram_artifact_model()
+    ]
+    return apply_unigram(files, "content", model, ["lang"])
+
+
+def _sql_unigram_encode() -> str:
+    # independent single-process encode with the same frozen artifact —
+    # pinned VALUES oracle, exact ints
+    from decimal import Decimal
+
+    from data_quality_spark.corpus import generate_files_pdf
+    from data_quality_spark.operators.unigram import viterbi_segment
+
+    probs = {p: Decimal(pr) for p, _, pr in _unigram_artifact_model()}
+    max_len = max(len(p) for p in probs)
+    pdf = generate_files_pdf(n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    memo: dict[str, tuple[int, int]] = {}
+    agg: dict[str, list[int]] = {}
+    for lang, content in zip(pdf.lang, pdf.content):
+        a = agg.setdefault(lang, [0, 0, 0, 0])
+        a[0] += 1
+        for w in content.split(" "):
+            if not w:
+                continue
+            if w not in memo:
+                pieces, oov = viterbi_segment(w, probs, max_len)
+                memo[w] = (len(pieces), oov)
+            a[1] += 1
+            a[2] += memo[w][0]
+            a[3] += memo[w][1]
+    rows = " UNION ALL ".join(
+        f"SELECT '{lg}' AS lang, CAST({v[0]} AS BIGINT) AS n_docs, "
+        f"CAST({v[1]} AS BIGINT) AS n_words, "
+        f"CAST({v[2]} AS BIGINT) AS n_tokens, "
+        f"CAST({v[3]} AS BIGINT) AS n_oov_chars"
+        for lg, v in sorted(agg.items())
+    )
+    return rows
+
+
 # Queries whose IMPLEMENTING CODE changed this round after their last
 # driver-checked round — the guard test forces every one of these into the
 # current 50-entry driver window so no query ever ships on a stale driver
@@ -4039,6 +4176,10 @@ CHANGED_THIS_ROUND = [
     "sessionized_counts",   # (ts, event_id) cumsum-order oracle fix (late r4)
     "heavy_hitters",        # strict-> freqItems contract fix (late r4)
     "media_dedup",          # NEW in r5: multimodal dedup driver query
+    "bpe_merges",           # r5 engine default: Arrow dictionary replay
+    "bpe_encode",           # same
+    "unigram_fit",          # NEW in r5: unigram-LM tokenizer fit
+    "unigram_encode",       # NEW in r5: unigram-LM tokenizer apply
 ]
 
 
@@ -4096,6 +4237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         # -- new in round 5 (inserted here as built) --
         "media_dedup": q_media_dedup,
+        "unigram_fit": q_unigram_fit,
+        "unigram_encode": q_unigram_encode,
+        # -- r4-green but engine default changed in r5 (arrow replay) --
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         # -- r4-green fill (re-confirmation bonus) --
         "pipeline_keep_drop": q_pipeline_keep_drop,
         "pipeline_metrics": q_pipeline_metrics,
@@ -4106,7 +4252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
-        # ---- window boundary: entries below stand on green r4 rows ----
+        # ---- ~window boundary (first 50): entries below stand on green
+        # ---- r4 rows (the last few fill entries above may also fall
+        # ---- outside the first 50 — they are r4-green re-confirmation
+        # ---- bonus, so overflow is safe; the guard test checks the
+        # ---- placement invariant mechanically) ----
         "estimator_quality": q_estimator_quality,
         "decontaminate": q_decontaminate,
         "boilerplate_lines": q_boilerplate_lines,
@@ -4123,10 +4273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_extents": q_duplicate_span_extents,
         "quality_auc": q_quality_auc,
         "split_leakage": q_split_leakage,
-        "bpe_merges": q_bpe_merges,
         "source_forks": q_source_forks,
         "dsir_weights": q_dsir_weights,
-        "bpe_encode": q_bpe_encode,
         "fork_apply": q_fork_apply,
         "ngram_diversity": q_ngram_diversity,
         "snapshot_diff": q_snapshot_diff,
@@ -4180,6 +4328,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "source_quality": SQL_SOURCE_QUALITY,
         "bpe_encode": _sql_bpe_encode(),
+        "unigram_fit": _sql_unigram_fit(),
+        "unigram_encode": _sql_unigram_encode(),
         "semdedup": SQL_SEMDEDUP,
         "media_dedup": SQL_MEDIA_DEDUP,
         "fork_apply": SQL_FORK_APPLY,

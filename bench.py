@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "dsir_weights",
     "semdedup",
     "media_dedup",
+    "unigram_fit",
+    "unigram_encode",
     "fork_apply",
     "pii_report",
     "ngram_diversity",

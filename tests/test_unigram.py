@@ -1,0 +1,155 @@
+"""Unigram-LM tokenizer: Viterbi core invariants, distributed fit vs the
+single-process reference, apply counts, partition invariance, plan gate."""
+
+from __future__ import annotations
+
+from collections import Counter
+from decimal import Decimal
+
+from data_quality_spark.operators.unigram import (
+    apply_unigram,
+    fit_unigram,
+    py_unigram_reference,
+    renormalize,
+    viterbi_segment,
+    word_substrings,
+)
+
+
+def _probs(d: dict[str, str]) -> dict[str, Decimal]:
+    return {k: Decimal(v) for k, v in d.items()}
+
+
+def test_viterbi_prefers_high_prob_pieces():
+    probs = _probs({"a": "0.1", "b": "0.1", "ab": "0.5"})
+    pieces, oov = viterbi_segment("abab", probs, 2)
+    assert pieces == ["ab", "ab"] and oov == 0
+
+
+def test_viterbi_tiebreak_fewer_then_lex():
+    # 'ab'*'cd' and 'abc'*'d' tie by score -> equal piece count -> lex
+    probs = _probs({"ab": "0.2", "cd": "0.3", "abc": "0.3", "d": "0.2"})
+    pieces, _ = viterbi_segment("abcd", probs, 3)
+    assert pieces == ["ab", "cd"]  # ("ab","cd") < ("abc","d") lexically
+    # fewer pieces wins over equal-score longer split
+    probs2 = _probs({"a": "0.5", "aa": "0.25"})
+    pieces2, _ = viterbi_segment("aa", probs2, 2)
+    assert pieces2 == ["aa"]
+
+
+def test_viterbi_oov_chars():
+    probs = _probs({"a": "0.9"})
+    pieces, oov = viterbi_segment("axa", probs, 2)
+    assert pieces == ["a", "x", "a"] and oov == 1
+
+
+def test_word_substrings_multiplicity():
+    assert Counter(word_substrings("aa", 2)) == Counter({"a": 2, "aa": 1})
+
+
+def test_renormalize_smooths_single_chars():
+    probs = renormalize({"a": 0, "ab": 3})
+    # single char got +1 -> total 4
+    assert probs["a"] == Decimal("0.25").quantize(Decimal("1e-12"))
+    assert probs["ab"] == Decimal("0.75").quantize(Decimal("1e-12"))
+
+
+def test_fit_matches_reference(spark):
+    import random
+
+    rng = random.Random(31)
+    vocab = ["banana", "bandana", "ananas", "nab", "panama", "x"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8)))
+        for _ in range(30)
+    ]
+    wc: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    got = fit_unigram(df, "content", vocab_size=20, n_em=2, max_piece_len=3)
+    want = py_unigram_reference(
+        dict(wc), vocab_size=20, n_em=2, max_piece_len=3
+    )
+    assert got == want
+    # model invariants: sorted by piece, probs quantized, singles present
+    assert [m["piece"] for m in got] == sorted(m["piece"] for m in got)
+    chars = {c for w in wc for c in w}
+    assert chars <= {m["piece"] for m in got}
+
+
+def test_fit_partition_invariant(spark):
+    texts = ["banana band ana", "nab banana panama", "ana nab band"]
+    df1 = spark.createDataFrame([(t,) for t in texts], "content string")
+    df7 = df1.repartition(7)
+    kw = dict(vocab_size=12, n_em=2, max_piece_len=3, min_count=1)
+    assert fit_unigram(df1, "content", **kw) == fit_unigram(df7, "content", **kw)
+
+
+def test_seed_cap_engines_agree(spark):
+    """seed_size caps the candidate set via a DISTRIBUTED sort-limit —
+    the scale path — and must select exactly what the reference's
+    (count desc, piece asc) top-k selects."""
+    texts = ["banana bandana ananas", "banana nab nab", "panama banana"]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    wc: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            wc[w] += 1
+    for cap in (1, 3, 8):
+        kw = dict(
+            vocab_size=30, n_em=2, max_piece_len=3, min_count=1,
+            seed_size=cap,
+        )
+        assert fit_unigram(df, "content", **kw) == py_unigram_reference(
+            dict(wc), **kw
+        )
+
+
+def test_apply_counts_match_reference(spark):
+    rows = [
+        ("a", "banana nab"),
+        ("a", "panama"),
+        ("b", "banana banana qq"),
+        ("c", ""),
+    ]
+    df = spark.createDataFrame(rows, "g string, content string")
+    wc: Counter = Counter()
+    for _, t in rows:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    model = py_unigram_reference(dict(wc), vocab_size=15, max_piece_len=3)
+    probs = {m["piece"]: Decimal(m["prob"]) for m in model}
+    out = {
+        r["g"]: r
+        for r in apply_unigram(df, "content", model, ["g"]).collect()
+    }
+    # python expectation per group
+    for g in ("a", "b"):
+        words = [
+            w for gg, t in rows if gg == g for w in t.split(" ") if w
+        ]
+        want_tok = sum(len(viterbi_segment(w, probs, 3)[0]) for w in words)
+        assert out[g]["n_words"] == len(words)
+        assert out[g]["n_tokens"] == want_tok
+    # 'qq' has q unseen in fit? q IS in fit corpus ('qq' row) — oov only
+    # when the model was fit elsewhere:
+    model_a = py_unigram_reference({"banana": 1}, vocab_size=9)
+    out2 = apply_unigram(
+        df.filter("g = 'b'"), "content", model_a, ["g"]
+    ).collect()[0]
+    assert out2["n_oov_chars"] == 2  # the two q's
+    # wordless group: zero counts, still present
+    assert out["c"]["n_docs"] == 1
+    assert out["c"]["n_words"] == 0 and out["c"]["n_tokens"] == 0
+
+
+def test_apply_plan_no_per_row_python(spark):
+    df = spark.createDataFrame([("x", "ab ba")], "g string, content string")
+    model = py_unigram_reference({"ab": 2, "ba": 1}, vocab_size=8)
+    out = apply_unigram(df, "content", model, ["g"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
