@@ -4158,6 +4158,213 @@ def _sql_unigram_encode() -> str:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# license detection / rollup / permissive gate (operators/license.py)
+
+# deterministic planted headers over the documents table — (modulus,
+# residue, header) in precedence order; both the Spark fixture and the
+# SQL oracle are generated from this one table
+LICENSE_FIXTURE_HEADERS = [
+    (97, 0, "// SPDX-License-Identifier: WTFPL "),
+    (5, 0, "// SPDX-License-Identifier: MIT "),
+    (5, 1, "/* Licensed under the Apache License, Version 2.0 (the License); */ "),
+    (5, 2, "// free software under the terms of the GNU General Public License "),
+    (5, 3, "# Redistribution and use in source and binary forms are permitted "),
+]
+
+
+def _license_base(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    hdr = None
+    for mod, res, text in LICENSE_FIXTURE_HEADERS:
+        cond = F.col("doc_id") % mod == res
+        hdr = F.when(cond, F.lit(text)) if hdr is None else hdr.when(
+            cond, F.lit(text)
+        )
+    hdr = hdr.otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.concat(hdr, F.col("text")).alias("content"),
+    )
+
+
+def _sql_license_cte() -> str:
+    """Shared CTE chain: fixture + detection, generated from the SAME
+    frozen tables the Spark operator uses (operators/license.py,
+    LICENSE_RULES_VERSION) so a rule edit breaks the hash loudly."""
+    from data_quality_spark.operators.license import (
+        CATEGORY,
+        HEADER_CHARS,
+        LICENSES,
+        SPDX_PATTERN,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    hdr_arms = " ".join(
+        f"WHEN doc_id % {mod} = {res} THEN {q(text)}"
+        for mod, res, text in LICENSE_FIXTURE_HEADERS
+    )
+    spdx_arms = " ".join(
+        f"WHEN {q(lic)} THEN {q(lic)}" for lic in CATEGORY
+    )
+    phrase_arms = " ".join(
+        f"WHEN contains(hdr, {q(phrase)}) THEN {q(lic)}"
+        for lic, _, phrase in LICENSES
+    )
+    cat_arms = " ".join(
+        f"WHEN {q(lic)} THEN {q(cat)}" for lic, cat, _ in LICENSES
+    )
+    return f"""
+    base AS (
+        SELECT doc_id, source AS repo,
+               (CASE {hdr_arms} ELSE '' END) || text AS content
+        FROM documents
+    ),
+    det AS (
+        SELECT doc_id, repo,
+               regexp_extract(content, {q(SPDX_PATTERN)}, 1) AS spdx,
+               regexp_replace(lower(substr(content, 1, {HEADER_CHARS})),
+                              '[^a-z0-9]+', ' ', 'g') AS hdr
+        FROM base
+    ),
+    lic AS (
+        SELECT doc_id, repo,
+               CASE WHEN spdx <> '' THEN
+                        (CASE spdx {spdx_arms} ELSE 'unknown-spdx' END)
+                    {phrase_arms}
+                    ELSE 'none' END AS license
+        FROM det
+    ),
+    lic2 AS (
+        SELECT doc_id, repo, license,
+               CASE license WHEN 'unknown-spdx' THEN 'unknown'
+                    {cat_arms} ELSE 'none' END AS license_category
+        FROM lic
+    )"""
+
+
+def q_license_report(spark, sf_dir):
+    """Per-license file counts over the planted-header corpus
+    (operators/license.with_license — SPDX tag wins, else normalized
+    header-phrase table, else none; pure Column, narrow, zero UDF). The
+    oracle replays the identical frozen rule tables in SQL."""
+    from data_quality_spark.operators.license import with_license
+
+    cls = with_license(_license_base(spark, sf_dir))
+    return cls.groupBy("license", "license_category").agg(
+        F.count("*").alias("n_files")
+    )
+
+
+def _sql_license_report() -> str:
+    return (
+        "WITH "
+        + _sql_license_cte()
+        + """
+    SELECT license, license_category, CAST(COUNT(*) AS BIGINT) AS n_files
+    FROM lic2 GROUP BY license, license_category"""
+    )
+
+
+def q_license_gate(spark, sf_dir):
+    """The Stack-style permissive gate, closed loop: repo rollup (ARG-MIN
+    dominant license, copyleft flag) -> keep files of passing repos.
+    Returns one audit row with exact counts + an order-free kept-id
+    checksum; content never shuffles (repo-keyed decision table)."""
+    from data_quality_spark.operators.license import (
+        license_gate,
+        license_repo_rollup,
+        with_license,
+    )
+
+    cls = with_license(_license_base(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    roll = license_repo_rollup(cls)
+    totals = cls.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("repo").alias("n_repos"),
+    )
+    passing = roll.agg(
+        F.sum(
+            (
+                F.col("dominant_category").isin("permissive", "none")
+                & ~F.col("has_copyleft")
+            ).cast("long")
+        ).alias("n_pass_repos"),
+        F.sum(F.col("has_copyleft").cast("long")).alias("n_copyleft_repos"),
+    )
+    kept = license_gate(cls).agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(passing))
+        .crossJoin(F.broadcast(kept))
+        .select(
+            "n_docs",
+            "n_repos",
+            "n_pass_repos",
+            "n_copyleft_repos",
+            "n_kept",
+            F.col("kept_id_sum").cast("bigint").alias("kept_id_sum"),
+        )
+    )
+
+
+def _sql_license_gate() -> str:
+    from data_quality_spark.operators.license import LICENSES
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    cat_arms = " ".join(
+        f"WHEN {q(lic)} THEN {q(cat)}" for lic, cat, _ in LICENSES
+    )
+    return (
+        "WITH "
+        + _sql_license_cte()
+        + f""",
+    per AS (
+        SELECT repo, license, license_category, COUNT(*) AS n
+        FROM lic2 GROUP BY repo, license, license_category
+    ),
+    win AS (
+        SELECT repo, license,
+               ROW_NUMBER() OVER (PARTITION BY repo
+                                  ORDER BY n DESC, license ASC) AS rn
+        FROM per
+    ),
+    dom AS (SELECT repo, license AS dominant FROM win WHERE rn = 1),
+    flags AS (
+        SELECT repo,
+               MAX(CASE WHEN license_category = 'copyleft' THEN 1 ELSE 0 END)
+                   AS cl
+        FROM lic2 GROUP BY repo
+    ),
+    domcat AS (
+        SELECT d.repo, f.cl,
+               CASE d.dominant WHEN 'unknown-spdx' THEN 'unknown'
+                    {cat_arms} ELSE 'none' END AS dominant_category
+        FROM dom d JOIN flags f ON d.repo = f.repo
+    ),
+    pass AS (
+        SELECT repo FROM domcat
+        WHERE dominant_category IN ('permissive', 'none') AND cl = 0
+    ),
+    kept AS (SELECT l.doc_id FROM lic2 l JOIN pass p ON l.repo = p.repo)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lic2) AS n_docs,
+           (SELECT CAST(COUNT(DISTINCT repo) AS BIGINT) FROM lic2) AS n_repos,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) AS n_pass_repos,
+           (SELECT CAST(SUM(cl) AS BIGINT) FROM domcat) AS n_copyleft_repos,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_kept,
+           (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept) AS kept_id_sum"""
+    )
+
+
 # Queries whose IMPLEMENTING CODE changed this round after their last
 # driver-checked round — the guard test forces every one of these into the
 # current 50-entry driver window so no query ever ships on a stale driver
@@ -4180,6 +4387,8 @@ CHANGED_THIS_ROUND = [
     "bpe_encode",           # same
     "unigram_fit",          # NEW in r5: unigram-LM tokenizer fit
     "unigram_encode",       # NEW in r5: unigram-LM tokenizer apply
+    "license_report",       # NEW in r5: license detection
+    "license_gate",         # NEW in r5: permissive-license repo gate
 ]
 
 
@@ -4239,6 +4448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "unigram_fit": q_unigram_fit,
         "unigram_encode": q_unigram_encode,
+        "license_report": q_license_report,
+        "license_gate": q_license_gate,
         # -- r4-green but engine default changed in r5 (arrow replay) --
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -4330,6 +4541,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _sql_bpe_encode(),
         "unigram_fit": _sql_unigram_fit(),
         "unigram_encode": _sql_unigram_encode(),
+        "license_report": _sql_license_report(),
+        "license_gate": _sql_license_gate(),
         "semdedup": SQL_SEMDEDUP,
         "media_dedup": SQL_MEDIA_DEDUP,
         "fork_apply": SQL_FORK_APPLY,

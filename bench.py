@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "media_dedup",
     "unigram_fit",
     "unigram_encode",
+    "license_report",
+    "license_gate",
     "fork_apply",
     "pii_report",
     "ngram_diversity",

@@ -1,0 +1,156 @@
+"""License detection, repo-level rollup, and permissive-license gating.
+
+The first step of every real code-corpus training pipeline (The Stack /
+StarCoder: keep permissively-licensed files only). Three layers:
+
+- ``with_license``: per-file license classification — an SPDX
+  ``SPDX-License-Identifier:`` tag wins outright; otherwise a normalized
+  header-region phrase match against a frozen table of distinctive
+  license phrases; otherwise ``none``. Pure Column expressions
+  (regexp_extract + chained CASE + substring search on a normalized
+  prefix): a narrow projection, zero UDF, zero shuffle — at 10^12 files
+  this rides the same scan as every other per-file signal.
+- ``license_repo_rollup``: per-repo dominant license via the ARG-MIN
+  aggregate pattern (min(struct(-n, license)) — map-side combinable, no
+  per-repo window sort over corpus rows; the per-(repo, license) count
+  frame it runs on is bounded by |repos| x |license table|), plus
+  copyleft-present and multi-license flags.
+- ``license_gate``: keep files whose repo's dominant category is allowed
+  AND whose repo contains no copyleft file. The per-repo decision table
+  is a repo-keyed distillation (content never shuffles — the fork_apply
+  discipline); files join back on the repo key, AQE-splittable.
+
+Classification tables are FROZEN under ``LICENSE_RULES_VERSION``
+(CLAUDE.md thresholds convention — bump on any rule change; the driver
+oracle mirrors the same rules in SQL, so a silent edit breaks the hash).
+
+Precedence notes: phrase order puts LGPL/MPL before GPL so a header
+naming the Lesser GPL never falls through to the GPL phrase; an SPDX tag
+outside the known table classifies as ``unknown-spdx`` (category
+``unknown``) rather than silently passing the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LICENSE_RULES_VERSION = "license-v1"
+
+HEADER_CHARS = 400
+
+SPDX_PATTERN = r"SPDX-License-Identifier: *([A-Za-z0-9.+\-]+)"
+
+# (spdx_id, category, distinctive phrase over the normalized header) —
+# precedence = list order for phrase matching.
+LICENSES = [
+    ("Apache-2.0", "permissive", "licensed under the apache license version 2 0"),
+    ("MIT", "permissive", "permission is hereby granted free of charge"),
+    (
+        "BSD-3-Clause",
+        "permissive",
+        "redistribution and use in source and binary forms",
+    ),
+    (
+        "LGPL-3.0-only",
+        "weak-copyleft",
+        "gnu lesser general public license",
+    ),
+    ("MPL-2.0", "weak-copyleft", "mozilla public license version 2 0"),
+    ("GPL-3.0-only", "copyleft", "gnu general public license"),
+]
+
+CATEGORY = {lic: cat for lic, cat, _ in LICENSES}
+
+
+def _normalized_header(content: Column, header_chars: int) -> Column:
+    """Lowercased header prefix with every non-alphanumeric run collapsed
+    to one space — the canonical form the phrase table is written in."""
+    return F.regexp_replace(
+        F.lower(F.substring(content, 1, header_chars)), "[^a-z0-9]+", " "
+    )
+
+
+def license_expr(content: Column, header_chars: int = HEADER_CHARS) -> Column:
+    """The per-file license id as one Column expression."""
+    spdx = F.regexp_extract(content, SPDX_PATTERN, 1)
+    spdx_known = None
+    for lic in CATEGORY:
+        cond = spdx == F.lit(lic)
+        spdx_known = (
+            F.when(cond, F.lit(lic))
+            if spdx_known is None
+            else spdx_known.when(cond, F.lit(lic))
+        )
+    spdx_lic = spdx_known.otherwise(F.lit("unknown-spdx"))
+    hdr = _normalized_header(content, header_chars)
+    phrase_lic = F.lit("none")
+    for lic, _, phrase in reversed(LICENSES):
+        phrase_lic = F.when(
+            F.instr(hdr, phrase) > 0, F.lit(lic)
+        ).otherwise(phrase_lic)
+    return F.when(spdx != "", spdx_lic).otherwise(phrase_lic)
+
+
+def category_expr(license_col: Column) -> Column:
+    out = F.lit("none")
+    for lic, cat, _ in reversed(LICENSES):
+        out = F.when(license_col == F.lit(lic), F.lit(cat)).otherwise(out)
+    return F.when(license_col == F.lit("unknown-spdx"), F.lit("unknown")).otherwise(
+        out
+    )
+
+
+def with_license(
+    df: DataFrame, content_col: str = "content", header_chars: int = HEADER_CHARS
+) -> DataFrame:
+    """Attach ``license`` and ``license_category`` columns (narrow)."""
+    out = df.withColumn("license", license_expr(F.col(content_col), header_chars))
+    return out.withColumn("license_category", category_expr(F.col("license")))
+
+
+def license_repo_rollup(
+    classified: DataFrame, repo_col: str = "repo"
+) -> DataFrame:
+    """Per-repo license posture:
+    (repo, dominant_license, dominant_category, n_files, n_licenses,
+    has_copyleft). Dominant = most files, ties to the lexicographically
+    smallest license id — the ARG-MIN aggregate (min over struct(-n,
+    license)), so the corpus-scale pass is ONE map-side-combinable
+    count and the winner pick runs on the bounded (repo, license)
+    frame."""
+    per = classified.groupBy(repo_col, "license", "license_category").agg(
+        F.count("*").alias("n")
+    )
+    return per.groupBy(repo_col).agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("license"))).alias(
+            "_win"
+        ),
+        F.sum("n").alias("n_files"),
+        F.countDistinct("license").alias("n_licenses"),
+        F.max(
+            (F.col("license_category") == "copyleft").cast("int")
+        ).alias("_cl"),
+    ).select(
+        repo_col,
+        F.col("_win.license").alias("dominant_license"),
+        category_expr(F.col("_win.license")).alias("dominant_category"),
+        "n_files",
+        "n_licenses",
+        (F.col("_cl") == 1).alias("has_copyleft"),
+    )
+
+
+def license_gate(
+    classified: DataFrame,
+    repo_col: str = "repo",
+    allowed: tuple[str, ...] = ("permissive", "none"),
+) -> DataFrame:
+    """Keep files in repos whose dominant category is allowed and which
+    contain no copyleft file. The decision table is repo-keyed (no
+    content); files rejoin on the repo key."""
+    rollup = license_repo_rollup(classified, repo_col)
+    passing = rollup.filter(
+        F.col("dominant_category").isin(*allowed) & ~F.col("has_copyleft")
+    ).select(repo_col)
+    return classified.join(passing, repo_col, "left_semi")

@@ -1,0 +1,117 @@
+"""License detection / rollup / gating: SPDX precedence, phrase table,
+header-region bound, dominant-license tie-breaks, copyleft gate."""
+
+from __future__ import annotations
+
+from data_quality_spark.operators.license import (
+    HEADER_CHARS,
+    license_gate,
+    license_repo_rollup,
+    with_license,
+)
+
+
+def _classify(spark, rows):
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    return {
+        r["path"]: (r["license"], r["license_category"])
+        for r in with_license(df).collect()
+    }
+
+
+def test_spdx_tag_wins_over_phrase(spark):
+    got = _classify(
+        spark,
+        [
+            (
+                "r",
+                "a",
+                "// SPDX-License-Identifier: MIT\n"
+                "GNU General Public License boilerplate below",
+            )
+        ],
+    )
+    assert got["a"] == ("MIT", "permissive")
+
+
+def test_unknown_spdx_is_flagged_not_passed(spark):
+    got = _classify(
+        spark, [("r", "a", "# SPDX-License-Identifier: WTFPL\ncode")]
+    )
+    assert got["a"] == ("unknown-spdx", "unknown")
+
+
+def test_phrase_table_detects_each_license(spark):
+    cases = [
+        ("apache", "Licensed under the Apache License, Version 2.0 (the 'License');", "Apache-2.0"),
+        ("mit", "Permission is hereby granted, free of charge, to any person", "MIT"),
+        ("bsd", "Redistribution and use in source and binary forms, with or without", "BSD-3-Clause"),
+        ("lgpl", "under the terms of the GNU Lesser General Public License", "LGPL-3.0-only"),
+        ("mpl", "subject to the Mozilla Public License, Version 2.0.", "MPL-2.0"),
+        ("gpl", "under the terms of the GNU General Public License as published", "GPL-3.0-only"),
+        ("plain", "def main():\n    return 0", "none"),
+    ]
+    got = _classify(spark, [("r", p, f"/* {t} */\ncode") for p, t, _ in cases])
+    for p, _, want in cases:
+        assert got[p][0] == want, (p, got[p])
+
+
+def test_phrase_outside_header_region_ignored_spdx_anywhere_wins(spark):
+    pad = "x" * (HEADER_CHARS + 10)
+    got = _classify(
+        spark,
+        [
+            ("r", "late_phrase", pad + " GNU General Public License"),
+            ("r", "late_spdx", pad + " SPDX-License-Identifier: MIT"),
+        ],
+    )
+    assert got["late_phrase"] == ("none", "none")
+    assert got["late_spdx"] == ("MIT", "permissive")
+
+
+def test_rollup_dominance_and_flags(spark):
+    rows = [
+        # r1: 2 MIT vs 1 Apache -> MIT dominant
+        ("r1", "a", "// SPDX-License-Identifier: MIT"),
+        ("r1", "b", "// SPDX-License-Identifier: MIT"),
+        ("r1", "c", "// SPDX-License-Identifier: Apache-2.0"),
+        # r2: 1-1 tie -> lexicographically smaller id (Apache-2.0) wins
+        ("r2", "a", "// SPDX-License-Identifier: MIT"),
+        ("r2", "b", "// SPDX-License-Identifier: Apache-2.0"),
+        # r3: permissive-dominant but one GPL file -> has_copyleft
+        ("r3", "a", "// SPDX-License-Identifier: MIT"),
+        ("r3", "b", "// SPDX-License-Identifier: MIT"),
+        ("r3", "c", "// SPDX-License-Identifier: GPL-3.0-only"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    out = {
+        r["repo"]: r
+        for r in license_repo_rollup(with_license(df)).collect()
+    }
+    assert out["r1"]["dominant_license"] == "MIT"
+    assert out["r1"]["n_licenses"] == 2 and not out["r1"]["has_copyleft"]
+    assert out["r2"]["dominant_license"] == "Apache-2.0"
+    assert out["r3"]["has_copyleft"]
+    assert out["r3"]["dominant_category"] == "permissive"
+
+
+def test_gate_drops_copyleft_touched_repos(spark):
+    rows = [
+        ("keep1", "a", "// SPDX-License-Identifier: MIT"),
+        ("keep2", "a", "no license at all"),
+        ("drop_gpl", "a", "// SPDX-License-Identifier: GPL-3.0-only"),
+        ("drop_mixed", "a", "// SPDX-License-Identifier: MIT"),
+        ("drop_mixed", "b", "// SPDX-License-Identifier: GPL-3.0-only"),
+        ("drop_unknown", "a", "// SPDX-License-Identifier: WTFPL"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    kept = {
+        r["repo"] for r in license_gate(with_license(df)).collect()
+    }
+    assert kept == {"keep1", "keep2"}
+
+
+def test_detection_is_pure_column(spark):
+    df = spark.createDataFrame([("r", "a", "x")], "repo string, path string, content string")
+    plan = with_license(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # no UDF of any kind on the hot path
