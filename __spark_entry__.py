@@ -4365,6 +4365,91 @@ def _sql_license_gate() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# normalization-insensitive code dedup (operators/dedup.normalized_dedup)
+
+
+def q_dedup_normalized(spark, sf_dir):
+    """Comment/whitespace-insensitive exact dedup: every document gets a
+    planted mirror (block comment + doubled spaces + trailing line
+    comment) that the NORMALIZED digest collapses onto its original while
+    the exact digest does not. One hash-aggregate on the md5 of the
+    normalized form — content never shuffles. Returns exact-vs-normalized
+    group counts plus the deterministic keep-id checksum; the oracle
+    replays the identical RE2-safe normalization chain in SQL."""
+    from data_quality_spark.operators.dedup import (
+        exact_dedup,
+        normalized_dedup,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mirrors = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("/* mirror */  "),
+            F.regexp_replace("text", " ", "  "),
+            F.lit(" // tail"),
+        ).alias("text"),
+    )
+    u = d.unionByName(mirrors).localCheckpoint(eager=False)
+    norm = normalized_dedup(u, "text", "doc_id")
+    ex = exact_dedup(u, "text", "doc_id")
+    n_agg = norm.agg(
+        F.count("*").alias("norm_groups"),
+        F.sum((F.col("n_copies") > 1).cast("long")).alias("norm_multi_groups"),
+        F.sum("keep_doc_id").alias("keep_id_sum"),
+    )
+    e_agg = ex.agg(F.count("*").alias("exact_groups"))
+    t_agg = u.agg(F.count("*").alias("n_rows"))
+    return (
+        t_agg.crossJoin(F.broadcast(e_agg))
+        .crossJoin(F.broadcast(n_agg))
+        .select(
+            "n_rows",
+            "exact_groups",
+            "norm_groups",
+            "norm_multi_groups",
+            F.col("keep_id_sum").cast("bigint").alias("keep_id_sum"),
+        )
+    )
+
+
+def _sql_dedup_normalized() -> str:
+    from data_quality_spark.operators.dedup import (
+        _BLOCK_COMMENT,
+        _LINE_COMMENT_HASH,
+        _LINE_COMMENT_SLASH,
+        _WS_RUN,
+    )
+
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"regexp_replace(text, '{_BLOCK_COMMENT}', ' ', 'g'), "
+        f"'{_LINE_COMMENT_SLASH}', ' ', 'g'), "
+        f"'{_LINE_COMMENT_HASH}', ' ', 'g'), "
+        f"'{_WS_RUN}', ' ', 'g'))"
+    )
+    return f"""
+    WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               '/* mirror */  ' || replace(text, ' ', '  ') || ' // tail'
+        FROM documents
+    ),
+    norm AS (
+        SELECT md5({norm}) AS digest, MIN(doc_id) AS keep, COUNT(*) AS n
+        FROM u GROUP BY 1
+    ),
+    ex AS (SELECT md5(text) AS digest FROM u GROUP BY 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS exact_groups,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM norm) AS norm_groups,
+           (SELECT CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              FROM norm) AS norm_multi_groups,
+           (SELECT CAST(SUM(keep) AS BIGINT) FROM norm) AS keep_id_sum"""
+
+
 # Queries whose IMPLEMENTING CODE changed this round after their last
 # driver-checked round — the guard test forces every one of these into the
 # current 50-entry driver window so no query ever ships on a stale driver
@@ -4389,6 +4474,7 @@ CHANGED_THIS_ROUND = [
     "unigram_encode",       # NEW in r5: unigram-LM tokenizer apply
     "license_report",       # NEW in r5: license detection
     "license_gate",         # NEW in r5: permissive-license repo gate
+    "dedup_normalized",     # NEW in r5: comment/ws-insensitive dedup
 ]
 
 
@@ -4450,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode": q_unigram_encode,
         "license_report": q_license_report,
         "license_gate": q_license_gate,
+        "dedup_normalized": q_dedup_normalized,
         # -- r4-green but engine default changed in r5 (arrow replay) --
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -4543,6 +4630,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_encode": _sql_unigram_encode(),
         "license_report": _sql_license_report(),
         "license_gate": _sql_license_gate(),
+        "dedup_normalized": _sql_dedup_normalized(),
         "semdedup": SQL_SEMDEDUP,
         "media_dedup": SQL_MEDIA_DEDUP,
         "fork_apply": SQL_FORK_APPLY,

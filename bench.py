@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "unigram_encode",
     "license_report",
     "license_gate",
+    "dedup_normalized",
     "fork_apply",
     "pii_report",
     "ngram_diversity",

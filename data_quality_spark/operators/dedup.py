@@ -943,3 +943,52 @@ def group_digest_overlap(
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# normalization-insensitive exact dedup (code-aware)
+
+CODE_NORM_VERSION = "codenorm-v1"
+
+# RE2-compatible patterns (no lookahead/backrefs) so the DuckDB oracle
+# replays them verbatim; Java regex agrees on all of them.
+_BLOCK_COMMENT = r"/\*[^*]*\*+([^/*][^*]*\*+)*/"
+_LINE_COMMENT_SLASH = r"//[^\n]*"
+_LINE_COMMENT_HASH = r"#[^\n]*"
+_WS_RUN = r"[ \t\r\n]+"
+
+
+def normalized_code_expr(content):
+    """Comment- and whitespace-insensitive canonical form of a source
+    file, as one Column chain: strip /* */ block comments, then // and #
+    line comments, collapse whitespace runs to one space, trim. Frozen
+    under CODE_NORM_VERSION (heuristic by design — a # inside a string
+    literal is treated as a comment; the same rule runs on both engines
+    so labels stay consistent).
+
+    Narrow per-row string work on the scan: at 10^12 files this is a
+    projection, and downstream dedup touches only the md5 digest."""
+    x = F.regexp_replace(content, _BLOCK_COMMENT, " ")
+    x = F.regexp_replace(x, _LINE_COMMENT_SLASH, " ")
+    x = F.regexp_replace(x, _LINE_COMMENT_HASH, " ")
+    x = F.regexp_replace(x, _WS_RUN, " ")
+    return F.trim(x)
+
+
+def normalized_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """exact_dedup over the normalized form: groups files identical up to
+    comments/whitespace — the trivially-edited copies exact dedup misses
+    and MinHash over-pays for. Same 100 TB shape as exact_dedup: ONE
+    hash-aggregate on the digest (content itself never shuffles; the
+    normalization rides the scan projection).
+
+    Returns (digest, keep_<key>, n_copies) keyed on the NORMALIZED
+    digest."""
+    return (
+        df.groupBy(
+            F.md5(normalized_code_expr(F.col(text_col))).alias("digest")
+        ).agg(
+            F.min(key_col).alias("keep_" + key_col),
+            F.count("*").alias("n_copies"),
+        )
+    )

@@ -596,3 +596,43 @@ def test_group_digest_overlap_forks_and_ubiquitous_cutoff(spark):
     r = pairs[("g00", "g01")]
     assert r["shared"] == 3 and r["files_a"] == 5 and r["files_b"] == 5
     assert r["containment"] == 0.6
+
+
+def test_normalized_code_expr_strips_comments_and_ws(spark):
+    from data_quality_spark.operators.dedup import normalized_code_expr
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "int x = 1;  // set x\nint y = 2;"),
+        ("b", "int x = 1; /* multi\n line\n comment */ int y = 2;"),
+        ("c", "int x = 1;\n# py-style note\nint y = 2;"),
+        ("d", "int  x =\t1; int y = 2;"),
+    ]
+    df = spark.createDataFrame(rows, "k string, text string")
+    got = {
+        r["k"]: r["n"]
+        for r in df.select(
+            "k", normalized_code_expr(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got["a"] == "int x = 1; int y = 2;"
+    assert got["b"] == "int x = 1; int y = 2;"
+    assert got["c"] == "int x = 1; int y = 2;"
+    assert got["d"] == "int x = 1; int y = 2;"
+
+
+def test_normalized_dedup_groups_comment_variants(spark):
+    from data_quality_spark.operators.dedup import exact_dedup, normalized_dedup
+
+    rows = [
+        (1, "def f(): return 1"),
+        (2, "def f(): return 1  # same thing"),
+        (3, "def g(): return 2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = normalized_dedup(df, "text", "doc_id").collect()
+    ex = exact_dedup(df, "text", "doc_id").collect()
+    assert len(ex) == 3  # exact dedup sees three distinct files
+    assert len(norm) == 2  # normalization collapses 1 and 2
+    multi = [r for r in norm if r["n_copies"] == 2]
+    assert len(multi) == 1 and multi[0]["keep_doc_id"] == 1
