@@ -4366,6 +4366,96 @@ def _sql_license_gate() -> str:
 
 
 # ---------------------------------------------------------------------------
+# tokenizer comparison (BPE vs unigram fertility per language)
+
+
+def q_tokenizer_compare(spark, sf_dir):
+    """Tokenizer selection report: per-language fertility (tokens/word)
+    of the frozen BPE artifact vs the frozen unigram artifact over the
+    same corpus — the number a pipeline owner reads before picking a
+    tokenizer. Both sides are the dictionary-mediated apply ops (each
+    DISTINCT word encoded once; corpus = narrow explode + join +
+    map-side agg), composed with one lang-keyed join of two
+    language-cardinality frames."""
+    from data_quality_spark.corpus import generate_files_df
+    from data_quality_spark.operators.bpe import apply_bpe_merges
+    from data_quality_spark.operators.unigram import apply_unigram
+
+    files = generate_files_df(
+        spark, n_files=PIPE_N_FILES, seed=PIPE_SEED
+    ).localCheckpoint(eager=False)
+    merges = list(_bpe_artifact_merges())
+    model = [
+        {"piece": p, "count": c, "prob": pr}
+        for p, c, pr in _unigram_artifact_model()
+    ]
+    bpe = apply_bpe_merges(files, "content", merges, ["lang"]).select(
+        "lang", "n_words", F.col("n_tokens").alias("bpe_tokens")
+    )
+    uni = apply_unigram(files, "content", model, ["lang"]).select(
+        "lang", F.col("n_tokens").alias("uni_tokens")
+    )
+    j = bpe.join(uni, "lang")
+    fert = lambda c: F.when(  # noqa: E731
+        F.col("n_words") > 0,
+        F.round(F.col(c) / F.col("n_words"), 6),
+    )
+    return j.select(
+        "lang",
+        "n_words",
+        "bpe_tokens",
+        "uni_tokens",
+        fert("bpe_tokens").alias("bpe_tok_per_word"),
+        fert("uni_tokens").alias("uni_tok_per_word"),
+    )
+
+
+def _sql_tokenizer_compare() -> str:
+    # pinned per-lang integer counts from the two single-process encoders;
+    # the fertility division + round(…, 6) happens IN SQL so both engines
+    # round the same doubles
+    from decimal import Decimal
+
+    from data_quality_spark.corpus import generate_files_pdf
+    from data_quality_spark.operators.bpe import py_bpe_encode
+    from data_quality_spark.operators.unigram import viterbi_segment
+
+    merges = list(_bpe_artifact_merges())
+    probs = {p: Decimal(pr) for p, _, pr in _unigram_artifact_model()}
+    max_len = max(len(p) for p in probs)
+    pdf = generate_files_pdf(n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    bpe_memo: dict[str, int] = {}
+    uni_memo: dict[str, int] = {}
+    agg: dict[str, list[int]] = {}
+    for lang, content in zip(pdf.lang, pdf.content):
+        a = agg.setdefault(lang, [0, 0, 0])
+        for w in content.split(" "):
+            if not w:
+                continue
+            if w not in bpe_memo:
+                bpe_memo[w] = len(py_bpe_encode(w, merges))
+                uni_memo[w] = len(viterbi_segment(w, probs, max_len)[0])
+            a[0] += 1
+            a[1] += bpe_memo[w]
+            a[2] += uni_memo[w]
+    rows = " UNION ALL ".join(
+        f"SELECT '{lg}' AS lang, CAST({v[0]} AS BIGINT) AS n_words, "
+        f"CAST({v[1]} AS BIGINT) AS bpe_tokens, "
+        f"CAST({v[2]} AS BIGINT) AS uni_tokens"
+        for lg, v in sorted(agg.items())
+    )
+    return f"""
+    SELECT lang, n_words, bpe_tokens, uni_tokens,
+           CASE WHEN n_words > 0
+                THEN round(CAST(bpe_tokens AS DOUBLE) / n_words, 6)
+           END AS bpe_tok_per_word,
+           CASE WHEN n_words > 0
+                THEN round(CAST(uni_tokens AS DOUBLE) / n_words, 6)
+           END AS uni_tok_per_word
+    FROM ({rows})"""
+
+
+# ---------------------------------------------------------------------------
 # normalization-insensitive code dedup (operators/dedup.normalized_dedup)
 
 
@@ -4475,6 +4565,7 @@ CHANGED_THIS_ROUND = [
     "license_report",       # NEW in r5: license detection
     "license_gate",         # NEW in r5: permissive-license repo gate
     "dedup_normalized",     # NEW in r5: comment/ws-insensitive dedup
+    "tokenizer_compare",    # NEW in r5: BPE-vs-unigram fertility report
 ]
 
 
@@ -4537,6 +4628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_report": q_license_report,
         "license_gate": q_license_gate,
         "dedup_normalized": q_dedup_normalized,
+        "tokenizer_compare": q_tokenizer_compare,
         # -- r4-green but engine default changed in r5 (arrow replay) --
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -4631,6 +4723,7 @@ def oracle_sql() -> dict[str, str]:
         "license_report": _sql_license_report(),
         "license_gate": _sql_license_gate(),
         "dedup_normalized": _sql_dedup_normalized(),
+        "tokenizer_compare": _sql_tokenizer_compare(),
         "semdedup": SQL_SEMDEDUP,
         "media_dedup": SQL_MEDIA_DEDUP,
         "fork_apply": SQL_FORK_APPLY,

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "license_report",
     "license_gate",
     "dedup_normalized",
+    "tokenizer_compare",
     "fork_apply",
     "pii_report",
     "ngram_diversity",

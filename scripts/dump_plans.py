@@ -31,6 +31,11 @@ def _bucketed_incremental(spark) -> str:
 
     for t in ("plansidx_exact", "plansidx_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a fresh session's metastore doesn't know last run's table, so
+        # DROP alone leaves the warehouse dir -> LOCATION_ALREADY_EXISTS
+        import shutil
+
+        shutil.rmtree(os.path.join(REPO, "spark-warehouse", t), ignore_errors=True)
     docs = generate_files_df(spark, 300, seed=5).select(
         F.concat_ws("/", "repo", "path").alias("doc_id"),
         F.col("content").alias("text"),
@@ -151,6 +156,33 @@ def main():
             "flags semi-joined back (filtered side broadcastable); ONE "
             "per-doc Window pass merges adjacent duplicated windows — "
             "linear end-to-end, no pair join (gated in test_dedup.py).",
+        ),
+        (
+            "license_gate — repo-keyed decision table, content never shuffles",
+            qs["license_gate"](spark, SF),
+            "Detection is a narrow Column projection on the scan (no "
+            "python anywhere); the dominant-license pick is an ARG-MIN "
+            "aggregate on the bounded (repo, license) count frame — no "
+            "corpus window sort; files meet the passing-repo decision "
+            "table through a LeftSemi join on the repo key only.",
+        ),
+        (
+            "dedup_normalized — canonical-form digests, one hash-agg",
+            qs["dedup_normalized"](spark, SF),
+            "The comment/whitespace normalization is a regexp Project on "
+            "the scan; the dedup itself is the exact_dedup shape — one "
+            "map-side-combinable hash aggregate on md5(normalized), no "
+            "content in any Exchange.",
+        ),
+        (
+            "unigram_encode — dictionary-mediated tokenizer apply",
+            qs["unigram_encode"](spark, SF),
+            "The Arrow Viterbi pass runs on the DISTINCT-WORD dictionary "
+            "only and is materialized behind the localCheckpoint boundary "
+            "(the `Scan ExistingRDD` build side of the broadcast join "
+            "below — python touched the dictionary once, never corpus "
+            "rows); the corpus side is explode + dictionary join + "
+            "map-side aggregate. No BatchEvalPython anywhere.",
         ),
         (
             "incremental_dedup over a BUCKETED index — index side never shuffles",
