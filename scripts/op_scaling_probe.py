@@ -287,6 +287,49 @@ def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
                 vecs, "vec_id", "v", n_clusters=k, tau=tau, seed=7
             )
         )
+    elif op == "unigram":
+        from data_quality_spark.operators.bpe import word_freqs
+        from data_quality_spark.operators.unigram import (
+            _piece_counts,
+            fit_unigram,
+            renormalize,
+        )
+
+        # stage 1: the corpus-scale pass (map-side-combined word count) —
+        # the only stage whose cost grows with corpus rows
+        stages["word_count"] = timed(lambda: word_freqs(docs, "text"))
+        # stage 2: the seed substring explode+agg over the dictionary
+        # (word-disjoint replicas grow the dictionary R×)
+        words = (
+            word_freqs(docs, "text").select("w", "freq").localCheckpoint(
+                eager=True
+            )
+        )
+        stages["seed_counts"] = timed(
+            lambda: _piece_counts(words, None, 4)
+        )
+        # stage 3: one EM-round dictionary Arrow pass + count agg over a
+        # model fixed outside the timed region
+        counts = {
+            r["piece"]: int(r["count"])
+            for r in _piece_counts(words, None, 4)
+            .orderBy(F.col("count").desc(), F.col("piece").asc())
+            .limit(512)
+            .collect()
+        }
+        probs = renormalize(counts)
+        stages["em_pass"] = timed(lambda: _piece_counts(words, probs, 4))
+        # end-to-end fit (driver-side Decimal updates included)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fit_unigram(
+                docs, "text", vocab_size=96, n_em=2, max_piece_len=4,
+                min_count=2, seed_size=512,
+            )
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        stages["total"] = round(best, 2)
     else:
         raise SystemExit(f"unknown op {op}")
 
@@ -296,7 +339,9 @@ def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--op", required=True, choices=["jaccard", "clusters", "semdedup"]
+        "--op",
+        required=True,
+        choices=["jaccard", "clusters", "semdedup", "unigram"],
     )
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--replicas", type=int, default=8)
