@@ -124,16 +124,54 @@ def _rewrite_merge_arrow(
     return dic.mapInPandas(run, schema=schema)
 
 
+def collect_word_freqs(
+    df: DataFrame, text_col: str, max_dict_rows: int
+) -> dict[str, int]:
+    """Bounded collect of the word-frequency dictionary. ``limit(cap+1)``
+    bounds the transfer even when the guard fires, so a pathological
+    vocabulary raises instead of OOM-ing the driver."""
+    rows = word_freqs(df, text_col).limit(max_dict_rows + 1).collect()
+    if len(rows) > max_dict_rows:
+        raise ValueError(
+            f"word dictionary exceeds max_dict_rows={max_dict_rows}; "
+            "raise the cap or use the distributed engine (engine='arrow')"
+        )
+    return {r["w"]: int(r["freq"]) for r in rows}
+
+
 def fit_bpe_merges(
-    df: DataFrame, text_col: str, n_merges: int = 8, engine: str = "arrow"
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+    engine: str = "arrow",
+    max_dict_rows: int = 2_000_000,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merge rules; returns
     [{rank, left, right, merged, pair_count}, ...] (driver-sized — the
     model, not data). Stops early if no adjacent pair remains.
 
-    ``engine``: how the per-round dictionary rewrite runs — "arrow"
-    (default; Arrow-batched python merge pass, measured 2× end-to-end)
-    or "fold" (pure-Column higher-order fold). Identical output."""
+    ``engine``: how the merge loop runs after the one corpus-scale
+    word-count pass —
+    - "arrow" (default): per-round dictionary-sized pair-count aggregate
+      + Arrow-batched rewrite, fully distributed; measured 2× over
+      "fold" end-to-end (BENCH.md r5 fixed-cost table).
+    - "fold": pure-Column higher-order-fold rewrite (the codegen path).
+    - "driver": collect the word dictionary ONCE (bounded by
+      ``max_dict_rows`` — the same vocabulary-bounded driver-action
+      class as the seed top-k collects; guard raises, never truncates)
+      and replay the merge loop in-process. This is the standard
+      tokenizer-training shape (corpus pass → counts → local merges) and
+      removes the 8-round Amdahl floor entirely; use it when the
+      vocabulary fits the driver, "arrow" when it does not.
+    All three produce identical merge tables (parity-tested). The
+    ``bpe_merges`` driver query deliberately stays on "arrow": its oracle
+    pins the DISTRIBUTED loop against the single-process core
+    (``py_bpe_reference``) that "driver" reuses — running the query on
+    "driver" would compare that core against itself."""
+    if engine == "driver":
+        return py_bpe_reference(
+            collect_word_freqs(df, text_col, max_dict_rows), n_merges
+        )
     dic = (
         word_freqs(df, text_col)
         .select("w", "freq", F.split("w", "").alias("syms"))

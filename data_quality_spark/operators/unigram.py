@@ -233,6 +233,8 @@ def fit_unigram(
     max_piece_len: int = 4,
     min_count: int = 2,
     seed_size: int = 1024,
+    engine: str = "arrow",
+    max_dict_rows: int = 2_000_000,
 ) -> list[dict]:
     """Fit the unigram tokenizer; returns [{piece, count, prob}] sorted
     (piece asc) — driver-sized (the model, not data).
@@ -244,7 +246,27 @@ def fit_unigram(
     (plus the full single-char alphabet) — the substring dictionary
     itself never reaches the driver — and each EM round only ever emits
     pieces already in the vocabulary. localCheckpoint pins the word
-    dictionary once (it feeds every round)."""
+    dictionary once (it feeds every round).
+
+    ``engine="driver"`` collects the word dictionary once (bounded by
+    ``max_dict_rows``; the guard raises, never truncates) and runs the
+    whole seed + EM loop in-process via ``py_unigram_reference`` —
+    identical output by shared-core construction. Same trade as BPE's
+    driver engine (operators/bpe.py): no per-round floors when the
+    vocabulary fits the driver; the ``unigram_fit`` driver query stays on
+    "arrow" so its oracle keeps pinning the distributed loop against the
+    single-process core rather than the core against itself."""
+    if engine == "driver":
+        from .bpe import collect_word_freqs
+
+        return py_unigram_reference(
+            collect_word_freqs(df, text_col, max_dict_rows),
+            vocab_size=vocab_size,
+            n_em=n_em,
+            max_piece_len=max_piece_len,
+            min_count=min_count,
+            seed_size=seed_size,
+        )
     words = (
         word_freqs(df, text_col)
         .select("w", "freq")

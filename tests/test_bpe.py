@@ -141,3 +141,34 @@ def test_apply_engines_identical(spark):
         )
     )
     assert fold == arrow
+
+
+def test_fit_driver_engine_parity(spark):
+    """engine='driver' (bounded dictionary collect + in-process merge
+    loop) fits the identical merge table to the distributed engine —
+    the parity that makes it a safe production fast path while the
+    driver query keeps pinning 'arrow' against the shared core."""
+    import random
+
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "aa", "abba", "racecar", "qq", "lowest"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 9)))
+        for _ in range(25)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    assert fit_bpe_merges(df, "content", 6, engine="driver") == fit_bpe_merges(
+        df, "content", 6, engine="arrow"
+    )
+
+
+def test_fit_driver_engine_dict_guard(spark):
+    """The bounded collect RAISES on a too-large dictionary instead of
+    truncating (a truncated dictionary would silently fit wrong rules)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("one two three four five",)], "content string"
+    )
+    with pytest.raises(ValueError, match="max_dict_rows"):
+        fit_bpe_merges(df, "content", 2, engine="driver", max_dict_rows=3)

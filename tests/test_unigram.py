@@ -153,3 +153,22 @@ def test_apply_plan_no_per_row_python(spark):
     out = apply_unigram(df, "content", model, ["g"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_fit_driver_engine_parity(spark):
+    """engine='driver' (bounded dictionary collect + in-process EM) fits
+    the identical model to the distributed engine."""
+    texts = ["banana band ana", "nab banana panama", "ana nab band"]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    kw = dict(vocab_size=12, n_em=2, max_piece_len=3, min_count=1)
+    assert fit_unigram(df, "content", engine="driver", **kw) == fit_unigram(
+        df, "content", engine="arrow", **kw
+    )
+
+
+def test_fit_driver_engine_dict_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a b c d e",)], "content string")
+    with pytest.raises(ValueError, match="max_dict_rows"):
+        fit_unigram(df, "content", engine="driver", max_dict_rows=2)
