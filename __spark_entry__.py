@@ -4540,6 +4540,77 @@ def _sql_dedup_normalized() -> str:
            (SELECT CAST(SUM(keep) AS BIGINT) FROM norm) AS keep_id_sum"""
 
 
+def q_secret_scan(spark, sf_dir):
+    """High-entropy secret detection (truffleHog heuristic) — the
+    entropy-gated complement to the pattern-based PII scrub.
+
+    Fixture: each doc plants one genuinely random-looking token (its own
+    md5 hex digest — ~3.7 bits/char: a hex-class secret, NOT a
+    base64-class one at 4.5 bits) and every third doc also plants a long
+    LOW-entropy filler ('ab'×16, exactly 1.0 bit/char — a candidate both
+    classes must reject). Detection must fire on exactly the digest and
+    only via the hex threshold, so the query exercises accept and reject
+    paths of both classes with per-doc-varying entropy values.
+    """
+    from data_quality_spark.functions.secrets import secret_scan
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.md5("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + "ab" * 16)).otherwise(
+                F.lit("")
+            ),
+        ).alias("content"),
+    )
+    return secret_scan(planted, "content", ["doc_id"])
+
+
+SQL_SECRET_SCAN = """
+    WITH c AS (
+      SELECT doc_id,
+             text || ' ' || md5(text) ||
+             CASE WHEN doc_id % 3 = 0 THEN ' ' || repeat('ab', 16)
+                  ELSE '' END AS content
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, 'b64' AS cls,
+             unnest(regexp_extract_all(content, '[A-Za-z0-9+/=]{20,}')) AS cand
+      FROM c
+      UNION ALL
+      SELECT doc_id, 'hex' AS cls,
+             unnest(regexp_extract_all(content, '[0-9a-fA-F]{20,}')) AS cand
+      FROM c
+    ), dic AS (SELECT DISTINCT cand FROM occ),
+    chars AS (
+      SELECT cand, length(cand) AS n, unnest(str_split(cand, '')) AS ch
+      FROM dic
+    ), freq AS (
+      SELECT cand, ch, count(*)::DOUBLE / max(n) AS p
+      FROM chars GROUP BY cand, ch
+    ), ent AS (
+      SELECT cand, round(-sum(p * log2(p)), 6) AS entropy
+      FROM freq GROUP BY cand
+    ), hits AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN (cls = 'b64' AND entropy > 4.5)
+                             OR (cls = 'hex' AND entropy > 3.0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_secrets,
+             round(max(entropy), 6) AS max_entropy
+      FROM occ JOIN ent USING (cand) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(h.n_secrets, 0) AS BIGINT) AS n_secrets,
+           h.max_entropy
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # Queries whose IMPLEMENTING CODE changed this round after their last
 # driver-checked round — the guard test forces every one of these into the
 # current 50-entry driver window so no query ever ships on a stale driver
@@ -4566,7 +4637,17 @@ CHANGED_THIS_ROUND = [
     "license_gate",         # NEW in r5: permissive-license repo gate
     "dedup_normalized",     # NEW in r5: comment/ws-insensitive dedup
     "tokenizer_compare",    # NEW in r5: BPE-vs-unigram fertility report
+    "secret_scan",          # NEW in r5: entropy-gated secret detection
 ]
+
+# The 50-entry driver window is FULL this round (35 r3-tail rotations +
+# the 20 changed/new queries above leave no slack), so adding secret_scan
+# required evicting exactly one window seat. tpch_q1 is the safe choice:
+# its implementing code is untouched since round 1 (git -L verified), its
+# r3 driver row is full-green (rows+schema+hash), and it is re-verified
+# every round by the local all-queries DuckDB gate (tests/test_entry.py).
+# The guard test admits this single documented exemption.
+R3_GREEN_UNCHANGED_EXEMPT = ["tpch_q1"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4588,7 +4669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_topk_batch": q_embed_topk_batch,
-        "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
         "decode_join": q_decode_join,
         "topk_per_group": q_topk_per_group,
@@ -4629,6 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_gate": q_license_gate,
         "dedup_normalized": q_dedup_normalized,
         "tokenizer_compare": q_tokenizer_compare,
+        "secret_scan": q_secret_scan,
         # -- r4-green but engine default changed in r5 (arrow replay) --
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -4647,6 +4728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- outside the first 50 — they are r4-green re-confirmation
         # ---- bonus, so overflow is safe; the guard test checks the
         # ---- placement invariant mechanically) ----
+        # r3-green, code unchanged since round 1 — evicted from the full
+        # window to seat secret_scan (see R3_GREEN_UNCHANGED_EXEMPT)
+        "tpch_q1": q_tpch_q1,
         "estimator_quality": q_estimator_quality,
         "decontaminate": q_decontaminate,
         "boilerplate_lines": q_boilerplate_lines,
@@ -4724,6 +4808,7 @@ def oracle_sql() -> dict[str, str]:
         "license_gate": _sql_license_gate(),
         "dedup_normalized": _sql_dedup_normalized(),
         "tokenizer_compare": _sql_tokenizer_compare(),
+        "secret_scan": SQL_SECRET_SCAN,
         "semdedup": SQL_SEMDEDUP,
         "media_dedup": SQL_MEDIA_DEDUP,
         "fork_apply": SQL_FORK_APPLY,

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "license_gate",
     "dedup_normalized",
     "tokenizer_compare",
+    "secret_scan",
     "fork_apply",
     "pii_report",
     "ngram_diversity",

@@ -1,0 +1,114 @@
+"""High-entropy secret detection (truffleHog-style) as pure Column exprs.
+
+Complements the pattern-based scrub (functions/scrub.py — the reference's
+"keys, tokens" rules, /root/reference/README.md:8-11): the regex rules
+catch FORMATTED credentials (AWS key ids, JWTs, PEM blocks); this module
+catches the unformatted rest — any long charset-constrained token whose
+Shannon entropy says "random", the classic truffleHog heuristic
+(base64-class candidates >= 4.5 bits/char, hex-class >= 3.0). A quality
+filter over source code needs both: raw hex digests and base64 blobs are
+exactly what license-key constants, embedded certs, and checked-in
+credentials look like.
+
+Scale shape (100 TB): candidate extraction is one codegen'd
+regexp_extract_all pass per class (narrow, no shuffle); entropy is
+computed once per DISTINCT candidate on a dictionary-sized frame (the
+doc_entropy explode/two-level-agg shape — linear, never per-occurrence;
+leaked keys repeat across forks/vendored copies, so the dictionary is
+much smaller than the occurrence stream), then joined back (AQE handles
+dictionary skew). No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ASCII character classes — identical semantics in Java, python-re, and
+# DuckDB RE2, so the oracle can share the exact patterns.
+B64_CANDIDATE_RE = "[A-Za-z0-9+/=]{20,}"
+HEX_CANDIDATE_RE = "[0-9a-fA-F]{20,}"
+
+# truffleHog's published thresholds (bits/char). Hex candidates are a
+# charset subset of base64 candidates, so a hex blob is scanned under
+# BOTH classes with its class-appropriate threshold — a 32-char md5
+# digest (~3.7 bits) is a hex-class secret but not a base64-class one.
+B64_ENTROPY_BITS = 4.5
+HEX_ENTROPY_BITS = 3.0
+
+
+def candidate_cols(content: Column) -> tuple[Column, Column]:
+    """(base64-class, hex-class) candidate arrays — non-overlapping
+    leftmost greedy matches, the same contract in Spark and DuckDB."""
+    b64 = F.regexp_extract_all(content, F.lit(B64_CANDIDATE_RE), 0)
+    hx = F.regexp_extract_all(content, F.lit(HEX_CANDIDATE_RE), 0)
+    return b64, hx
+
+
+def candidate_entropy(dic: DataFrame, cand_col: str = "cand") -> DataFrame:
+    """Shannon entropy (bits/char) per DISTINCT candidate string.
+
+    Same explode → two-level aggregate as the doc_entropy query
+    (__spark_entry__.q_doc_entropy) — linear in total candidate chars;
+    the pure higher-order-function form is O(distinct_chars × len) per
+    candidate. Input must already be distinct on ``cand_col``."""
+    chars = dic.select(
+        cand_col,
+        F.length(cand_col).alias("_n"),
+        F.explode(F.split(cand_col, "")).alias("_ch"),
+    )
+    freq = chars.groupBy(cand_col, "_ch").agg(
+        (F.count("*").cast("double") / F.max("_n")).alias("_p")
+    )
+    return freq.groupBy(cand_col).agg(
+        F.round(-F.sum(F.col("_p") * F.log2("_p")), 6).alias("entropy")
+    )
+
+
+def secret_scan(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    b64_threshold: float = B64_ENTROPY_BITS,
+    hex_threshold: float = HEX_ENTROPY_BITS,
+) -> DataFrame:
+    """Per-row secret report: ``id_cols + (n_candidates, n_secrets,
+    max_entropy)``. Rows with zero candidates report (0, 0, NULL).
+
+    Plan: two codegen'd extraction passes unioned into an occurrence
+    stream (explode_outer per the repo rule — InferFiltersFromGenerate
+    would inline the regexp under plain explode), entropy once per
+    distinct candidate, join back, one hash aggregate."""
+    ids = [F.col(c) for c in id_cols]
+    b64, hx = candidate_cols(F.col(text_col))
+    # materialize the arrays before the generator (no-CSE rule)
+    base = df.select(*ids, b64.alias("_b64"), hx.alias("_hex"))
+    occ = (
+        base.select(*ids, F.lit("b64").alias("cls"),
+                    F.explode_outer("_b64").alias("cand"))
+        .unionByName(
+            base.select(*ids, F.lit("hex").alias("cls"),
+                        F.explode_outer("_hex").alias("cand"))
+        )
+        .filter(F.col("cand").isNotNull())
+    )
+    ent = candidate_entropy(occ.select("cand").distinct())
+    hit = (F.col("cls") == "b64") & (F.col("entropy") > b64_threshold) | (
+        F.col("cls") == "hex"
+    ) & (F.col("entropy") > hex_threshold)
+    per_row = occ.join(ent, "cand").groupBy(*id_cols).agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(hit.cast("bigint")).alias("n_secrets"),
+        F.round(F.max("entropy"), 6).alias("max_entropy"),
+    )
+    # left join back so candidate-free rows still report zeros
+    zeros = df.select(*id_cols)
+    return (
+        zeros.join(per_row, id_cols, "left")
+        .select(
+            *id_cols,
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_secrets", F.lit(0)).alias("n_secrets"),
+            F.col("max_entropy"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Entropy-gated secret detection (functions/secrets.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_quality_spark.functions.secrets import (
+    candidate_entropy,
+    secret_scan,
+)
+
+
+def _entropy(s: str) -> float:
+    n = len(s)
+    return round(
+        -sum(
+            (s.count(c) / n) * math.log2(s.count(c) / n) for c in set(s)
+        ),
+        6,
+    )
+
+
+@pytest.fixture(scope="module")
+def scanned(spark):
+    rows = [
+        # a planted AWS-style secret access key: 40-char base64-class,
+        # high entropy — must fire via the base64 class
+        (1, 'key = "wJalrXUtnFEMIK7MDENGbPxRfiCYEXAMPLEKEY1"'),
+        # a git commit sha: 40 hex chars, ~random — hex-class secret
+        (2, "ref: d670460b4b4aece5915caf5c68d12f560a9fe3e4"),
+        # long but LOW entropy: separator filler — candidate, not secret
+        (3, "#" * 5 + "=" * 64 + " done"),
+        # repeated-pair filler in both charsets — candidate, not secret
+        (4, "pad: " + "ab" * 20),
+        # short random-looking token (< 20 chars) — not even a candidate
+        (5, "tok x9Q2mZ8kL1pW4n"),
+        # no candidates at all
+        (6, "plain short words only"),
+    ]
+    df = spark.createDataFrame(rows, "id int, content string")
+    out = {
+        r["id"]: r
+        for r in secret_scan(df, "content", ["id"]).collect()
+    }
+    return out
+
+
+def test_base64_class_secret_detected(scanned):
+    assert scanned[1]["n_secrets"] == 1
+    assert scanned[1]["max_entropy"] > 4.5
+
+
+def test_hex_class_secret_detected(scanned):
+    # the sha matches BOTH class regexes but only the hex threshold —
+    # exactly one counted hit (b64 class needs 4.5 bits, sha has ~3.8)
+    assert scanned[2]["n_secrets"] == 1
+    assert scanned[2]["n_candidates"] == 2
+
+
+def test_low_entropy_candidates_rejected(scanned):
+    assert scanned[3]["n_candidates"] >= 1 and scanned[3]["n_secrets"] == 0
+    assert scanned[4]["n_candidates"] == 2 and scanned[4]["n_secrets"] == 0
+    assert scanned[4]["max_entropy"] == 1.0  # 'abab…' is exactly 1 bit/char
+
+
+def test_short_or_absent_candidates_report_zero(scanned):
+    for i in (5, 6):
+        assert scanned[i]["n_candidates"] == 0
+        assert scanned[i]["n_secrets"] == 0
+        assert scanned[i]["max_entropy"] is None
+
+
+def test_entropy_matches_reference(spark):
+    cands = ["d670460b4b4aece5915caf5c68d12f560a9fe3e4", "ab" * 16, "=" * 24]
+    df = spark.createDataFrame([(c,) for c in cands], "cand string")
+    got = {r["cand"]: r["entropy"] for r in candidate_entropy(df).collect()}
+    for c in cands:
+        assert got[c] == pytest.approx(_entropy(c), abs=1e-6), c
+
+
+def test_plan_no_per_row_python_and_no_md5_filter(spark):
+    df = spark.createDataFrame([(1, "x " + "ab" * 20)], "id int, content string")
+    out = secret_scan(df, "content", ["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # explode_outer rule: no Filter node may re-evaluate the extraction
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "regexp_extract_all" not in line, line
