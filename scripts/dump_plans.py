@@ -185,6 +185,15 @@ def main():
             "map-side aggregate. No BatchEvalPython anywhere.",
         ),
         (
+            "secret_scan — entropy once per DISTINCT candidate",
+            qs["secret_scan"](spark, SF),
+            "Two codegen'd regexp_extract_all passes (no Filter node "
+            "re-evaluates the extraction — explode_outer rule); Shannon "
+            "entropy is the doc_entropy explode/two-level-agg shape over "
+            "the deduplicated candidate dictionary, joined back to the "
+            "occurrence stream. Zero Python in the plan.",
+        ),
+        (
             "incremental_dedup over a BUCKETED index — index side never shuffles",
             _bucketed_incremental(spark),
             "Both index FileScans are `Bucketed: true` and reach their "
