@@ -330,6 +330,60 @@ def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         stages["total"] = round(best, 2)
+    elif op == "secrets":
+        from data_quality_spark.functions.secrets import (
+            candidate_cols,
+            candidate_entropy,
+            secret_scan,
+        )
+
+        # same planted fixture as the driver query: every doc carries its
+        # own md5 digest (distinct per word-disjoint replica, so BOTH the
+        # occurrence stream and the candidate dictionary grow R× — the
+        # conservative shape: real leaked secrets repeat, shrinking the
+        # dictionary) plus a low-entropy filler on every third doc
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.md5("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit(" " + "ab" * 16)
+                ).otherwise(F.lit("")),
+            ).alias("content"),
+        )
+
+        def occ_stream():
+            b64, hx = candidate_cols(F.col("content"))
+            base = planted.select(
+                "doc_id", b64.alias("_b64"), hx.alias("_hex")
+            )
+            return (
+                base.select(
+                    "doc_id", F.lit("b64").alias("cls"),
+                    F.explode_outer("_b64").alias("cand"),
+                )
+                .unionByName(
+                    base.select(
+                        "doc_id", F.lit("hex").alias("cls"),
+                        F.explode_outer("_hex").alias("cand"),
+                    )
+                )
+                .filter(F.col("cand").isNotNull())
+            )
+
+        # stage 1: candidate extraction — the corpus-scale regex scan
+        stages["extract"] = timed(occ_stream)
+        # stage 2: entropy over the DISTINCT-candidate dictionary
+        occ = occ_stream().localCheckpoint(eager=True)
+        stages["entropy_dict"] = timed(
+            lambda: candidate_entropy(occ.select("cand").distinct())
+        )
+        # end-to-end per-row report
+        stages["total"] = timed(
+            lambda: secret_scan(planted, "content", ["doc_id"])
+        )
     else:
         raise SystemExit(f"unknown op {op}")
 
@@ -341,7 +395,7 @@ def main() -> None:
     ap.add_argument(
         "--op",
         required=True,
-        choices=["jaccard", "clusters", "semdedup", "unigram"],
+        choices=["jaccard", "clusters", "semdedup", "unigram", "secrets"],
     )
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--replicas", type=int, default=8)
