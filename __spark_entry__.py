@@ -2290,15 +2290,19 @@ def _sql_code_markers() -> str:
 
 
 def q_doc_repetition(spark, sf_dir):
-    """Within-document repetition ratios (the MassiveText/Gopher quality
-    rule): 1 − distinct/total word k-grams for k=2,3 — pure codegen'd
-    Column exprs (functions/heuristics.word_kgrams + repetition_ratio),
-    no shuffle, no hashing. The words array and both gram arrays are
-    materialized as columns first (no-CSE rule)."""
+    """Within-document repetition — the full Gopher/MassiveText rule set
+    (Rae et al. 2021, Table A1): distinct/total k-gram ratios (k=2,3;
+    pure codegen'd Column exprs, no shuffle) PLUS the character-coverage
+    rules r5 added — top 2-gram char fraction and duplicate 5-gram char
+    fraction (functions/text.gopher_gram_fractions: explode → id-keyed
+    aggregates, max_by(struct) argmax, no corpus window). The words array
+    and both gram arrays are materialized as columns first (no-CSE
+    rule)."""
     from data_quality_spark.functions import heuristics as H
+    from data_quality_spark.functions.text import gopher_gram_fractions
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    return (
+    rep = (
         d.withColumn("_ws", F.split("text", " "))
         .withColumn("_g2", H.word_kgrams(F.col("_ws"), 2))
         .withColumn("_g3", H.word_kgrams(F.col("_ws"), 3))
@@ -2308,27 +2312,63 @@ def q_doc_repetition(spark, sf_dir):
             F.round(H.repetition_ratio(F.col("_g3")), 6).alias("rep3"),
         )
     )
+    frac = gopher_gram_fractions(d, "doc_id", "text", top_n=2, dup_n=5)
+    return rep.join(frac, "doc_id").select(
+        "doc_id",
+        "rep2",
+        "rep3",
+        F.col("top_frac").alias("top2_frac"),
+        F.col("dup_frac").alias("dup5_frac"),
+    )
 
 
 SQL_DOC_REPETITION = """
     WITH w AS (
-      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+      SELECT doc_id, str_split(text, ' ') AS ws,
+             greatest(length(text), 1) AS tc
+      FROM documents
     ), g AS (
       -- ws[i : i+k-1] mirrors Spark's slice(): docs shorter than k words
       -- fold to one (shorter) gram, no index clamping
-      SELECT doc_id,
+      SELECT doc_id, tc,
              list_transform(range(1, greatest(len(ws) - 2 + 1, 1) + 1),
                i -> array_to_string(ws[i : i + 1], ' ')) AS g2,
              list_transform(range(1, greatest(len(ws) - 3 + 1, 1) + 1),
-               i -> array_to_string(ws[i : i + 2], ' ')) AS g3
+               i -> array_to_string(ws[i : i + 2], ' ')) AS g3,
+             list_transform(range(1, greatest(len(ws) - 5 + 1, 1) + 1),
+               i -> array_to_string(ws[i : i + 4], ' ')) AS g5
       FROM w
+    ), c2 AS (
+      SELECT doc_id, g2u AS gr, count(*) AS c
+      FROM (SELECT doc_id, unnest(g2) AS g2u FROM g)
+      GROUP BY doc_id, g2u
+    ), m2 AS (
+      SELECT doc_id, max(c) AS mc FROM c2 GROUP BY doc_id
+    ), top2 AS (
+      -- max count, ties -> lexicographically LARGEST gram (the Spark
+      -- side's max_by(g, struct(c, g)) contract)
+      SELECT c2.doc_id, max(c2.gr) AS tg, max(c2.c) AS mc
+      FROM c2 JOIN m2 ON c2.doc_id = m2.doc_id AND c2.c = m2.mc
+      GROUP BY c2.doc_id
+    ), c5 AS (
+      SELECT doc_id, g5u AS gr, count(*) AS c
+      FROM (SELECT doc_id, unnest(g5) AS g5u FROM g)
+      GROUP BY doc_id, g5u
+    ), d5 AS (
+      SELECT doc_id,
+             sum(CASE WHEN c > 1 THEN c * length(gr) ELSE 0 END) AS dchars
+      FROM c5 GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT g.doc_id,
            round(1.0 - len(list_distinct(g2))::DOUBLE
                  / greatest(len(g2), 1), 6) AS rep2,
            round(1.0 - len(list_distinct(g3))::DOUBLE
-                 / greatest(len(g3), 1), 6) AS rep3
+                 / greatest(len(g3), 1), 6) AS rep3,
+           round((top2.mc * length(top2.tg))::DOUBLE / g.tc, 6) AS top2_frac,
+           round(coalesce(d5.dchars, 0)::DOUBLE / g.tc, 6) AS dup5_frac
     FROM g
+    JOIN top2 ON g.doc_id = top2.doc_id
+    LEFT JOIN d5 ON g.doc_id = d5.doc_id
 """
 
 
@@ -4638,6 +4678,7 @@ CHANGED_THIS_ROUND = [
     "dedup_normalized",     # NEW in r5: comment/ws-insensitive dedup
     "tokenizer_compare",    # NEW in r5: BPE-vs-unigram fertility report
     "secret_scan",          # NEW in r5: entropy-gated secret detection
+    "doc_repetition",       # r5: + Gopher top2/dup5 char-fraction columns
 ]
 
 # The 50-entry driver window is FULL this round (35 r3-tail rotations +

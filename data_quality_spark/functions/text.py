@@ -206,3 +206,68 @@ def tfidf_top_terms(df, key_col: str, text_col: str, top_k: int = 3):
             "tf", "score", "rank",
         )
     )
+
+
+def gopher_gram_fractions(
+    df, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 5
+):
+    """The two character-coverage repetition rules from Gopher/MassiveText
+    (Rae et al. 2021, Table A1) that `repetition_ratio` (distinct/total)
+    does not capture:
+
+    - ``top{n}_frac``: fraction of the document's characters covered by
+      its single MOST FREQUENT word ``top_n``-gram (count × gram chars /
+      doc chars). Boilerplate-looping docs concentrate mass in one gram.
+    - ``dup{n}_frac``: fraction of characters covered by ALL repeated
+      ``dup_n``-grams (standard approximation: Σ count×chars over grams
+      with count > 1, overlaps counted per occurrence).
+
+    100 TB shape: one narrow pass materializes both gram arrays (no-CSE
+    rule), then each rule is an explode_outer → (id, gram) count →
+    id-keyed aggregate — map-side combinable, AQE-splittable, no window
+    over corpus rows. The top gram is picked with ``max_by(g, struct(c,
+    g))``: max count, ties broken by lexicographically LARGEST gram —
+    deterministic and replayed two-step in the SQL oracle.
+
+    Returns (id, top_frac, dup_frac) with round-6 doubles.
+    """
+    from .heuristics import word_kgrams
+
+    base = df.select(
+        id_col,
+        F.greatest(F.length(text_col), F.lit(1)).alias("_tc"),
+        F.split(text_col, " ").alias("_ws"),
+    )
+    base = base.select(
+        id_col,
+        "_tc",
+        word_kgrams(F.col("_ws"), top_n).alias("_gt"),
+        word_kgrams(F.col("_ws"), dup_n).alias("_gd"),
+    )
+    ct = (
+        base.select(id_col, "_tc", F.explode_outer("_gt").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"), F.max("_tc").alias("_tc"))
+    )
+    top = ct.groupBy(id_col).agg(
+        F.round(
+            F.expr("max_by(c * length(g), struct(c, g))").cast("double")
+            / F.max("_tc").cast("double"),
+            6,
+        ).alias("top_frac")
+    )
+    cd = (
+        base.select(id_col, "_tc", F.explode_outer("_gd").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"), F.max("_tc").alias("_tc"))
+    )
+    dup = cd.groupBy(id_col).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(0)
+            ).cast("double")
+            / F.max("_tc").cast("double"),
+            6,
+        ).alias("dup_frac")
+    )
+    return top.join(dup, id_col)

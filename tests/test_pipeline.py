@@ -151,3 +151,49 @@ def test_repetition_ratio_truth_table(spark):
     assert got[2] == 0.0                  # all distinct
     assert got[3] == 0.0                  # single short gram
     assert got[4] == round(1 - 2 / 5, 6)  # "a b"x3 + "b a"x2
+
+
+def test_gopher_gram_fractions_truth_table(spark):
+    """Gopher char-coverage rules vs a direct python reference (same
+    k-gram clamping, max-count tie -> lexicographically largest gram,
+    duplicate chars counted per occurrence)."""
+    from collections import Counter
+
+    from data_quality_spark.functions.text import gopher_gram_fractions
+
+    def ref(text, top_n=2, dup_n=5):
+        ws = text.split(" ")
+
+        def grams(k):
+            if len(ws) < k:
+                return [" ".join(ws)]
+            return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+
+        tc = max(len(text), 1)
+        ct = Counter(grams(top_n))
+        mc = max(ct.values())
+        tg = max(g for g, c in ct.items() if c == mc)
+        cd = Counter(grams(dup_n))
+        dch = sum(c * len(g) for g, c in cd.items() if c > 1)
+        return round(mc * len(tg) / tc, 6), round(dch / tc, 6)
+
+    texts = [
+        "a b a b a b",                    # looping 2-gram
+        "x y z w v u t s",                # all distinct
+        "go",                             # shorter than both k
+        "p q r s t p q r s t p q r s t",  # repeated 5-gram block
+        "",                               # empty text
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {
+        r["id"]: (r["top_frac"], r["dup_frac"])
+        for r in gopher_gram_fractions(df, "id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, t, got[i], ref(t))
+    # the looping doc's top 2-gram covers most of it; distinct doc ~ none
+    assert got[0][0] > 0.7 and got[1][1] == 0.0
+    # the repeated block doc has nonzero duplicate-5-gram coverage
+    assert got[3][1] > 0.5
