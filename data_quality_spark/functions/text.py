@@ -222,12 +222,14 @@ def gopher_gram_fractions(
       ``dup_n``-grams (standard approximation: Σ count×chars over grams
       with count > 1, overlaps counted per occurrence).
 
-    100 TB shape: one narrow pass materializes both gram arrays (no-CSE
-    rule), then each rule is an explode_outer → (id, gram) count →
-    id-keyed aggregate — map-side combinable, AQE-splittable, no window
-    over corpus rows. The top gram is picked with ``max_by(g, struct(c,
-    g))``: max count, ties broken by lexicographically LARGEST gram —
-    deterministic and replayed two-step in the SQL oracle.
+    100 TB shape: ONE scan, ONE shuffle — both gram streams are tagged
+    (k=0 top, k=1 dup) into a single exploded occurrence stream, counted
+    in one map-side-combinable (id, k, gram) aggregate, then reduced to
+    the two fractions in one id-keyed aggregate with FILTER clauses (the
+    unfused two-branch form costs an extra scan + shuffle). The top gram
+    is picked with ``max_by(c·chars(g), struct(c, g))``: max count, ties
+    broken by lexicographically LARGEST gram — deterministic and
+    replayed two-step in the SQL oracle.
 
     Returns (id, top_frac, dup_frac) with round-6 doubles.
     """
@@ -238,36 +240,39 @@ def gopher_gram_fractions(
         F.greatest(F.length(text_col), F.lit(1)).alias("_tc"),
         F.split(text_col, " ").alias("_ws"),
     )
+    tag = lambda arr, k: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(k).alias("k"), g.alias("g"))
+    )
     base = base.select(
         id_col,
         "_tc",
-        word_kgrams(F.col("_ws"), top_n).alias("_gt"),
-        word_kgrams(F.col("_ws"), dup_n).alias("_gd"),
+        F.concat(
+            tag(word_kgrams(F.col("_ws"), top_n), 0),
+            tag(word_kgrams(F.col("_ws"), dup_n), 1),
+        ).alias("_tagged"),
     )
     ct = (
-        base.select(id_col, "_tc", F.explode_outer("_gt").alias("g"))
-        .groupBy(id_col, "g")
+        base.select(id_col, "_tc", F.explode_outer("_tagged").alias("t"))
+        .select(id_col, "_tc", F.col("t.k").alias("k"), F.col("t.g").alias("g"))
+        .groupBy(id_col, "k", "g")
         .agg(F.count("*").alias("c"), F.max("_tc").alias("_tc"))
     )
-    top = ct.groupBy(id_col).agg(
+    return ct.groupBy(id_col).agg(
         F.round(
-            F.expr("max_by(c * length(g), struct(c, g))").cast("double")
-            / F.max("_tc").cast("double"),
-            6,
-        ).alias("top_frac")
-    )
-    cd = (
-        base.select(id_col, "_tc", F.explode_outer("_gd").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"), F.max("_tc").alias("_tc"))
-    )
-    dup = cd.groupBy(id_col).agg(
-        F.round(
-            F.sum(
-                F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(0)
+            F.expr(
+                "max_by(c * length(g), struct(c, g)) FILTER (WHERE k = 0)"
             ).cast("double")
             / F.max("_tc").cast("double"),
             6,
-        ).alias("dup_frac")
+        ).alias("top_frac"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("k") == 1) & (F.col("c") > 1),
+                    F.col("c") * F.length("g"),
+                ).otherwise(0)
+            ).cast("double")
+            / F.max("_tc").cast("double"),
+            6,
+        ).alias("dup_frac"),
     )
-    return top.join(dup, id_col)
