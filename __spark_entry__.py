@@ -2245,7 +2245,11 @@ def q_code_markers(spark, sf_dir):
     RLIKE Column predicate each (functions/heuristics.py markers), booleans
     aggregated map-side. Self-validating: the oracle pins per-lang counts
     computed by an INDEPENDENT python re/str pass over the same
-    (n_files, seed) corpus."""
+    (n_files, seed) corpus. r5 adds the StarCoder-style comment-char
+    fraction (heuristics.comment_char_fraction over the frozen CODE_NORM
+    patterns) as a per-lang DECIMAL-exact mean — the exact-sum rule: the
+    per-file doubles are rounded then summed as DECIMAL(18,6) on both
+    engines so the mean is re-association-proof."""
     from data_quality_spark.corpus import generate_files_df
     from data_quality_spark.functions import heuristics as H
 
@@ -2258,6 +2262,17 @@ def q_code_markers(spark, sf_dir):
             F.sum(H.has_license_header(c).cast("long")).alias("n_license"),
             F.sum(H.looks_minified(c).cast("long")).alias("n_minified"),
             F.sum(H.has_hex_blob(c).cast("long")).alias("n_hex_blob"),
+            F.round(
+                (
+                    F.sum(
+                        F.round(H.comment_char_fraction(c), 6).cast(
+                            "decimal(18,6)"
+                        )
+                    )
+                    / F.count("*")
+                ).cast("double"),
+                6,
+            ).alias("avg_comment_frac"),
         )
     )
 
@@ -2267,11 +2282,29 @@ def _sql_code_markers() -> str:
     # heuristics.py Column exprs — so the pinned constants cross-check the
     # Spark predicates rather than restating them
     import re
+    from decimal import Decimal
 
     from data_quality_spark.corpus import generate_files_pdf
 
     pdf = generate_files_pdf(n_files=PIPE_N_FILES, seed=PIPE_SEED)
     hex_re = re.compile(r"[0-9a-fA-F]{40,}")
+    blk_re = re.compile(r"/\*.*?\*/", re.S)  # ≡ the frozen non-backtracking
+    # block pattern on well-formed comments, formulated independently
+
+    def comment_frac(s: str) -> float:
+        t = blk_re.sub(" ", s)
+        lines = []
+        for line in t.split("\n"):
+            i = line.find("//")
+            if i >= 0:
+                line = line[:i] + " "
+            j = line.find("#")
+            if j >= 0:
+                line = line[:j] + " "
+            lines.append(line)
+        stripped = "\n".join(lines)
+        return round((len(s) - len(stripped)) / max(len(s), 1), 6)
+
     rows = []
     for lang, g in pdf.groupby("lang"):
         lic = int(g.content.str.contains(
@@ -2280,11 +2313,14 @@ def _sql_code_markers() -> str:
             lambda s: max((len(l) for l in s.split("\n")), default=0) >= 200
         ).sum())
         hexb = int(g.content.map(lambda s: hex_re.search(s) is not None).sum())
+        csum = sum(Decimal(f"{comment_frac(s):.6f}") for s in g.content)
+        cavg = round(float(csum / len(g)), 6)
         rows.append(
             f"SELECT '{lang}' AS lang, CAST({len(g)} AS BIGINT) AS n_files, "
             f"CAST({lic} AS BIGINT) AS n_license, "
             f"CAST({minif} AS BIGINT) AS n_minified, "
-            f"CAST({hexb} AS BIGINT) AS n_hex_blob"
+            f"CAST({hexb} AS BIGINT) AS n_hex_blob, "
+            f"CAST({cavg} AS DOUBLE) AS avg_comment_frac"
         )
     return " UNION ALL ".join(rows)
 
@@ -4679,6 +4715,7 @@ CHANGED_THIS_ROUND = [
     "tokenizer_compare",    # NEW in r5: BPE-vs-unigram fertility report
     "secret_scan",          # NEW in r5: entropy-gated secret detection
     "doc_repetition",       # r5: + Gopher top2/dup5 char-fraction columns
+    "code_markers",         # r5: + StarCoder comment-char-fraction column
 ]
 
 # The 50-entry driver window is FULL this round (35 r3-tail rotations +

@@ -147,3 +147,33 @@ def repetition_ratio(grams: Column) -> Column:
     return F.lit(1.0) - F.size(F.array_distinct(grams)).cast(
         "double"
     ) / F.greatest(F.size(grams), F.lit(1)).cast("double")
+
+
+def comment_char_fraction(content: Column) -> Column:
+    """Approximate fraction of characters inside comments — the
+    StarCoder-style code-quality signal (near-zero → undocumented blob or
+    generated code; near-one → license-wall / commented-out file). Strips
+    block (/* */), //-line and #-line comments with the SAME frozen
+    patterns as the normalization-insensitive dedup (operators/dedup,
+    CODE_NORM_VERSION — a # inside a string literal is counted, heuristic
+    by design); each comment collapses to one space, so the measured drop
+    undercounts by one char per comment. Pure Column chain — rides the
+    content scan, codegen'd, no UDF."""
+    from ..operators.dedup import (
+        _BLOCK_COMMENT,
+        _LINE_COMMENT_HASH,
+        _LINE_COMMENT_SLASH,
+    )
+
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(content, _BLOCK_COMMENT, " "),
+            _LINE_COMMENT_SLASH,
+            " ",
+        ),
+        _LINE_COMMENT_HASH,
+        " ",
+    )
+    return (F.length(content) - F.length(stripped)).cast(
+        "double"
+    ) / F.greatest(F.length(content), F.lit(1)).cast("double")

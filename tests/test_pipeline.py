@@ -197,3 +197,33 @@ def test_gopher_gram_fractions_truth_table(spark):
     assert got[0][0] > 0.7 and got[1][1] == 0.0
     # the repeated block doc has nonzero duplicate-5-gram coverage
     assert got[3][1] > 0.5
+
+
+def test_comment_char_fraction_truth_table(spark):
+    """StarCoder-style comment fraction: each comment collapses to one
+    space, so drop = comment_len - 1 per comment."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions import heuristics as H
+
+    rows = [
+        (1, "x = 1\ny = 2"),                   # no comments -> 0
+        (2, "/* doc */\nx = 1"),               # 9-char block -> 8/15
+        (3, "x = 1  // set x"),                # 8-char line comment -> 7/15
+        (4, "# all\n# comments"),              # both lines -> (4+9)/16
+        (5, "/* a */ b /* c */"),              # two blocks on one line
+        (6, ""),                               # empty -> 0
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    got = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", F.round(H.comment_char_fraction(F.col("content")), 6).alias("f")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] == round((9 - 1) / 15, 6)
+    assert got[3] == round((8 - 1) / 15, 6)
+    assert got[4] == round((5 - 1 + 10 - 1) / 16, 6)
+    assert got[5] == round((7 - 1 + 7 - 1) / 17, 6)
+    assert got[6] == 0.0
