@@ -185,6 +185,16 @@ def main():
             "map-side aggregate. No BatchEvalPython anywhere.",
         ),
         (
+            "doc_repetition — fused Gopher gram branch",
+            qs["doc_repetition"](spark, SF),
+            "Two scans total: the distinct-ratio branch is a narrow "
+            "per-row projection (rep2/rep3, no shuffle); the top-2-gram "
+            "and duplicate-5-gram char fractions share ONE tagged "
+            "explode → one (id, k, gram) count → one id-keyed aggregate "
+            "with FILTER clauses (the unfused form cost a third scan and "
+            "a second gram shuffle).",
+        ),
+        (
             "secret_scan — entropy once per DISTINCT candidate",
             qs["secret_scan"](spark, SF),
             "Two codegen'd regexp_extract_all passes (no Filter node "
