@@ -4616,6 +4616,72 @@ def _sql_dedup_normalized() -> str:
            (SELECT CAST(SUM(keep) AS BIGINT) FROM norm) AS keep_id_sum"""
 
 
+def q_despan_apply(spark, sf_dir):
+    """Substring-dedup APPLY (operators/corpus_clean.remove_duplicate_spans):
+    Lee et al. 2022 cut the duplicated text — every cross-doc duplicated
+    4-word window is removed from all but its minimal-key occurrence, and
+    the value hash covers the FULL cleaned text of every doc, so the cut
+    positions, ordering, and rejoin are all pinned against the SQL replay."""
+    from data_quality_spark.operators.corpus_clean import (
+        remove_duplicate_spans,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(d, "doc_id", "text", window_k=4, min_docs=2)
+
+
+def _sql_despan_apply(k: int = 4, min_docs: int = 2) -> str:
+    combine = _sql_rolling_combine(k)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), h AS (
+      SELECT doc_id, ws, len(ws) AS n_words,
+             list_transform(ws, x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
+      FROM w
+    ), p AS (
+      SELECT doc_id, n_words,
+             unnest(range(1, greatest(len(wh) - {k} + 1, 1) + 1)) AS i,
+             unnest(list_transform(
+               range(1, greatest(len(wh) - {k} + 1, 1) + 1),
+               i -> {combine})) AS wv
+      FROM h
+    ), f AS (
+      SELECT wv, min(doc_id) AS keeper FROM p
+      GROUP BY wv HAVING count(DISTINCT doc_id) >= {min_docs}
+    ), cut AS (
+      SELECT p.doc_id, p.i, p.n_words
+      FROM p JOIN f ON p.wv = f.wv AND p.doc_id != f.keeper
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id,
+               unnest(range(i, least(i + {k} - 1, n_words) + 1)) AS pos
+        FROM cut
+      )
+    ), wd AS (
+      SELECT doc_id, s[1] AS word, s[2] AS pos FROM (
+        SELECT doc_id,
+               unnest(list_zip(ws, range(1, len(ws) + 1))) AS s
+        FROM h
+      )
+    ), kept AS (
+      SELECT wd.doc_id, wd.word, wd.pos
+      FROM wd ANTI JOIN cov
+        ON wd.doc_id = cov.doc_id AND wd.pos = cov.pos
+    ), reb AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS cleaned,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT h.doc_id,
+           coalesce(reb.cleaned, '') AS cleaned,
+           CAST(h.n_words AS BIGINT) AS n_words,
+           CAST(h.n_words - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM h LEFT JOIN reb USING (doc_id)
+    """
+
+
 def q_secret_scan(spark, sf_dir):
     """High-entropy secret detection (truffleHog heuristic) — the
     entropy-gated complement to the pattern-based PII scrub.
@@ -4716,16 +4782,18 @@ CHANGED_THIS_ROUND = [
     "secret_scan",          # NEW in r5: entropy-gated secret detection
     "doc_repetition",       # r5: + Gopher top2/dup5 char-fraction columns
     "code_markers",         # r5: + StarCoder comment-char-fraction column
+    "despan_apply",         # NEW in r5: Lee-et-al. substring-dedup apply
 ]
 
 # The 50-entry driver window is FULL this round (35 r3-tail rotations +
-# the 20 changed/new queries above leave no slack), so adding secret_scan
-# required evicting exactly one window seat. tpch_q1 is the safe choice:
-# its implementing code is untouched since round 1 (git -L verified), its
-# r3 driver row is full-green (rows+schema+hash), and it is re-verified
-# every round by the local all-queries DuckDB gate (tests/test_entry.py).
-# The guard test admits this single documented exemption.
-R3_GREEN_UNCHANGED_EXEMPT = ["tpch_q1"]
+# the changed/new queries above leave no slack), so each NEW r5 query
+# required evicting exactly one window seat. tpch_q1 and decode_join are
+# the safe choices: their implementing code is untouched since round 1
+# (git -L verified), their r3 driver rows are full-green
+# (rows+schema+hash), and both are re-verified every round by the local
+# all-queries DuckDB gate (tests/test_entry.py). The guard test checks
+# both conditions mechanically for every exempted name.
+R3_GREEN_UNCHANGED_EXEMPT = ["tpch_q1", "decode_join"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4748,7 +4816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_topk_batch": q_embed_topk_batch,
         "revenue_by_nation": q_revenue_by_nation,
-        "decode_join": q_decode_join,
         "topk_per_group": q_topk_per_group,
         "semi_join": q_semi_join,
         "doc_chunks": q_doc_chunks,
@@ -4788,6 +4855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "tokenizer_compare": q_tokenizer_compare,
         "secret_scan": q_secret_scan,
+        "despan_apply": q_despan_apply,
         # -- r4-green but engine default changed in r5 (arrow replay) --
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -4807,8 +4875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- bonus, so overflow is safe; the guard test checks the
         # ---- placement invariant mechanically) ----
         # r3-green, code unchanged since round 1 — evicted from the full
-        # window to seat secret_scan (see R3_GREEN_UNCHANGED_EXEMPT)
+        # window to seat secret_scan / despan_apply (see
+        # R3_GREEN_UNCHANGED_EXEMPT)
         "tpch_q1": q_tpch_q1,
+        "decode_join": q_decode_join,
         "estimator_quality": q_estimator_quality,
         "decontaminate": q_decontaminate,
         "boilerplate_lines": q_boilerplate_lines,
@@ -4887,6 +4957,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": _sql_dedup_normalized(),
         "tokenizer_compare": _sql_tokenizer_compare(),
         "secret_scan": SQL_SECRET_SCAN,
+        "despan_apply": _sql_despan_apply(),
         "semdedup": SQL_SEMDEDUP,
         "media_dedup": SQL_MEDIA_DEDUP,
         "fork_apply": SQL_FORK_APPLY,

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "dedup_normalized",
     "tokenizer_compare",
     "secret_scan",
+    "despan_apply",
     "fork_apply",
     "pii_report",
     "ngram_diversity",

@@ -250,3 +250,97 @@ def dedup_lines_global(
             F.coalesce("cleaned", F.lit("")).alias("cleaned"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    window_k: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-dedup APPLY (Lee et al. 2022 actually CUT the duplicated
+    text, they did not only count it): remove the words covered by
+    cross-document duplicated ``window_k``-word windows from every doc
+    EXCEPT each window's first occurrence (minimal key — the
+    dedup_lines_global first-occurrence rule at span granularity).
+
+    Exact semantics (deterministic, oracle-replayable): an occurrence
+    (doc, window position i) is CUT iff its window hash occurs in
+    ≥ ``min_docs`` distinct docs AND doc != min(key) over that hash; the
+    cut set of a doc is the union of [i, i+k-1] word positions over its
+    cut occurrences, and the cleaned text is the remaining words joined
+    in order. Overlap caveat: a doc that is first-occurrence for window A
+    may still lose words of A to an overlapping cut window B — the
+    guarantee is per-window-occurrence, not per-character.
+
+    Returns (key, cleaned, n_words, n_removed) for EVERY input row
+    (fully-covered docs come back with cleaned='' — the caller decides
+    whether an emptied doc survives).
+
+    100 TB shape: linear, no pair join — the same stream discipline as
+    duplicate_span_extents (one positional posexplode feeding both the
+    doc-frequency aggregate and the cut side, materialized once), plus a
+    words stream that re-assembles per doc via sort_array(collect_list)
+    — bounded by the doc's own word count, perfectly parallel. The
+    duplicated-window flag side is small by construction (only hashes in
+    ≥ min_docs docs survive; a window shared by 10^8 docs is ONE row).
+    """
+    from .dedup import _window_hash_array, word_hash_array
+
+    base = (
+        df.select(F.col(key_col).alias("k"), F.col(text_col).alias("_t"))
+        .withColumn("_ws", F.split("_t", " "))
+        .withColumn("_wh", word_hash_array("_t"))
+        .withColumn("n_words", F.size("_ws"))
+        .withColumn("wha", _window_hash_array(F.col("_wh"), window_k))
+        .drop("_t", "_wh")
+        .localCheckpoint(eager=False)
+    )
+    wins = base.select(
+        "k", "n_words", F.posexplode_outer("wha").alias("pos", "w")
+    ).select("k", "n_words", (F.col("pos") + 1).alias("i"), "w")
+    wins = wins.localCheckpoint(eager=True)
+    dup_w = (
+        wins.groupBy("w")
+        .agg(
+            F.count_distinct("k").alias("ndocs"),
+            F.min("k").alias("keeper"),
+        )
+        .filter(F.col("ndocs") >= min_docs)
+        .select("w", "keeper")
+    )
+    cut = wins.join(dup_w, "w").filter(F.col("k") != F.col("keeper"))
+    covered = cut.select(
+        "k",
+        F.explode(
+            F.sequence(
+                F.col("i"),
+                F.least(F.col("i") + F.lit(window_k - 1), F.col("n_words")),
+            )
+        ).alias("pos"),
+    ).distinct()
+    words = base.select(
+        "k", "n_words", F.posexplode_outer("_ws").alias("pos0", "word")
+    ).select("k", "n_words", (F.col("pos0") + 1).alias("pos"), "word")
+    kept = words.join(covered, ["k", "pos"], "left_anti")
+    rebuilt = kept.groupBy("k").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, word)))"
+            ", s -> s.word), ' ')"
+        ).alias("cleaned"),
+        F.count("*").alias("n_kept"),
+        F.max("n_words").alias("_nw"),
+    )
+    return (
+        base.select("k", "n_words")
+        .join(rebuilt, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            F.col("n_words").cast("long").alias("n_words"),
+            (
+                F.col("n_words") - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

@@ -636,3 +636,56 @@ def test_normalized_dedup_groups_comment_variants(spark):
     assert len(norm) == 2  # normalization collapses 1 and 2
     multi = [r for r in norm if r["n_copies"] == 2]
     assert len(multi) == 1 and multi[0]["keep_doc_id"] == 1
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Lee-et-al. cut semantics: the duplicated block survives only in its
+    minimal-key doc; unique docs are byte-identical; a full copy empties."""
+    from data_quality_spark.operators.corpus_clean import (
+        remove_duplicate_spans,
+    )
+
+    block = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"lead in words {block} tail one"),
+        (2, f"other opening here {block} closing words two"),
+        (3, "completely unique content nothing shared here at all"),
+        (4, f"lead in words {block} tail one"),  # exact copy of doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", window_k=4, min_docs=2
+        ).collect()
+    }
+    assert len(out) == 4  # every input row comes back
+    # doc 1 is min-key for every duplicated window -> untouched
+    assert out[1]["cleaned"] == rows[0][1] and out[1]["n_removed"] == 0
+    # doc 2 loses the shared block (its windows' keeper is doc 1) but
+    # keeps its unique lead/tail words
+    assert block not in out[2]["cleaned"]
+    for w in ("other", "opening", "closing", "two"):
+        assert w in out[2]["cleaned"]
+    assert out[2]["n_removed"] >= 6
+    # unique doc: byte-identical
+    assert out[3]["cleaned"] == rows[2][1] and out[3]["n_removed"] == 0
+    # exact copy: every window duplicated with keeper doc 1 -> emptied
+    assert out[4]["cleaned"] == ""
+    assert out[4]["n_removed"] == out[4]["n_words"]
+
+
+def test_remove_duplicate_spans_plan(spark):
+    from data_quality_spark.operators.corpus_clean import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    out = remove_duplicate_spans(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():  # no-CSE/generator gate
+        if "Filter" in line:
+            assert "md5" not in line, line

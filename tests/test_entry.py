@@ -116,11 +116,12 @@ def test_driver_window_covers_every_unchecked_query():
     (b) every query listed in E.CHANGED_THIS_ROUND — implementing code
         modified after its last driver check — sits inside the first 50,
         so no query ever ships on a stale-code driver row.
-    The single admitted exemption from (a) is E.R3_GREEN_UNCHANGED_EXEMPT:
+    The admitted exemptions from (a) are E.R3_GREEN_UNCHANGED_EXEMPT:
     a query may stand on its r3 driver row iff that row is full-green AND
-    its implementing code is unchanged since round 1 (tpch_q1 — evicted to
-    seat secret_scan in the full 50-entry window; still verified every
-    round by the local all-queries gate below)."""
+    its implementing code is unchanged since round 1 (tpch_q1/decode_join
+    — evicted to seat secret_scan/despan_apply in the full 50-entry
+    window; both still verified every round by the local all-queries gate
+    below)."""
     import json
     import os
 
