@@ -384,6 +384,48 @@ def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
         stages["total"] = timed(
             lambda: secret_scan(planted, "content", ["doc_id"])
         )
+    elif op == "despan":
+        from data_quality_spark.operators.corpus_clean import (
+            remove_duplicate_spans,
+        )
+
+        # word-disjoint replicas: each replica's duplicated windows are
+        # replica-local, so the flag side and the cut output both grow R×
+        # (linear), never R² — the shape a bigger corpus actually has
+        # stage 1: the positional window-hash stream (one corpus pass,
+        # materialized — the op's dominant scan)
+        def winstream():
+            from data_quality_spark.operators.dedup import (
+                _window_hash_array,
+                word_hash_array,
+            )
+
+            b = (
+                docs.select("doc_id", F.col("text").alias("_t"))
+                .withColumn("_wh", word_hash_array("_t"))
+                .withColumn("wha", _window_hash_array(F.col("_wh"), 4))
+                .drop("_t", "_wh")
+            )
+            return b.select(
+                "doc_id", F.posexplode_outer("wha").alias("pos", "w")
+            )
+
+        stages["window_stream"] = timed(winstream)
+        # stage 2: doc-frequency + keeper aggregate over the materialized
+        # stream (map-side combinable)
+        ws = winstream().localCheckpoint(eager=True)
+        stages["doc_freq"] = timed(
+            lambda: ws.groupBy("w").agg(
+                F.count_distinct("doc_id").alias("ndocs"),
+                F.min("doc_id").alias("keeper"),
+            ).filter(F.col("ndocs") >= 2)
+        )
+        # end-to-end apply (cut + order-preserving rebuild included)
+        stages["total"] = timed(
+            lambda: remove_duplicate_spans(
+                docs, "doc_id", "text", window_k=4, min_docs=2
+            )
+        )
     else:
         raise SystemExit(f"unknown op {op}")
 
@@ -395,7 +437,9 @@ def main() -> None:
     ap.add_argument(
         "--op",
         required=True,
-        choices=["jaccard", "clusters", "semdedup", "unigram", "secrets"],
+        choices=[
+            "jaccard", "clusters", "semdedup", "unigram", "secrets", "despan",
+        ],
     )
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--replicas", type=int, default=8)
