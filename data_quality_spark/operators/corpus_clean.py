@@ -280,9 +280,13 @@ def remove_duplicate_spans(
 
     100 TB shape: linear, no pair join — the same stream discipline as
     duplicate_span_extents (one positional posexplode feeding both the
-    doc-frequency aggregate and the cut side, materialized once), plus a
-    words stream that re-assembles per doc via sort_array(collect_list)
-    — bounded by the doc's own word count, perfectly parallel. The
+    doc-frequency aggregate and the cut side, materialized once). The
+    rebuild never shuffles words: cut positions aggregate per doc into a
+    bounded array (ONLY cut occurrences shuffle — at realistic dup rates
+    a small fraction of the corpus; v1 shuffled every word of every doc
+    through an anti-join + collect_list and measured 1.5-2× slower with a
+    0.35 probe efficiency), then the cleaned text is one index-aware
+    higher-order filter + array_join riding the doc row. The
     duplicated-window flag side is small by construction (only hashes in
     ≥ min_docs docs survive; a window shared by 10^8 docs is ONE row).
     """
@@ -311,36 +315,37 @@ def remove_duplicate_spans(
         .select("w", "keeper")
     )
     cut = wins.join(dup_w, "w").filter(F.col("k") != F.col("keeper"))
-    covered = cut.select(
-        "k",
-        F.explode(
-            F.sequence(
-                F.col("i"),
-                F.least(F.col("i") + F.lit(window_k - 1), F.col("n_words")),
-            )
-        ).alias("pos"),
-    ).distinct()
-    words = base.select(
-        "k", "n_words", F.posexplode_outer("_ws").alias("pos0", "word")
-    ).select("k", "n_words", (F.col("pos0") + 1).alias("pos"), "word")
-    kept = words.join(covered, ["k", "pos"], "left_anti")
-    rebuilt = kept.groupBy("k").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, word)))"
-            ", s -> s.word), ' ')"
-        ).alias("cleaned"),
-        F.count("*").alias("n_kept"),
-        F.max("n_words").alias("_nw"),
-    )
-    return (
-        base.select("k", "n_words")
-        .join(rebuilt, "k", "left")
-        .select(
-            F.col("k").alias(key_col),
-            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
-            F.col("n_words").cast("long").alias("n_words"),
-            (
-                F.col("n_words") - F.coalesce("n_kept", F.lit(0))
-            ).cast("long").alias("n_removed"),
+    # per-doc cut-position ARRAY (bounded by the doc's own word count;
+    # only docs with cut occurrences appear)
+    covered = (
+        cut.select(
+            "k",
+            F.explode(
+                F.sequence(
+                    F.col("i"),
+                    F.least(
+                        F.col("i") + F.lit(window_k - 1), F.col("n_words")
+                    ),
+                )
+            ).alias("pos"),
         )
+        .groupBy("k")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    joined = base.join(covered, "k", "left").withColumn(
+        "_cov", F.coalesce("cov", F.array())
+    )
+    # index-aware HOF filter: keep word i+1 unless its position was cut
+    kept = joined.withColumn(
+        "_kept",
+        F.filter(
+            "_ws",
+            lambda w, i: ~F.array_contains("_cov", (i + 1).cast("bigint")),
+        ),
+    )
+    return kept.select(
+        F.col("k").alias(key_col),
+        F.array_join("_kept", " ").alias("cleaned"),
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("n_words") - F.size("_kept")).cast("long").alias("n_removed"),
     )
