@@ -185,6 +185,17 @@ def main():
             "map-side aggregate. No BatchEvalPython anywhere.",
         ),
         (
+            "despan_apply — span cut with no words shuffle",
+            qs["despan_apply"](spark, SF),
+            "The Lee-et-al. cut apply: one positional window-hash stream "
+            "(localCheckpoint boundary) feeds the doc-frequency/keeper "
+            "aggregate and the cut side; cut POSITIONS aggregate per doc "
+            "into a bounded array, and the cleaned text is an index-aware "
+            "higher-order filter + array_join riding the doc row — the "
+            "corpus's words never shuffle (probe-measured 1.5× over the "
+            "anti-join/collect_list form at 16 cores).",
+        ),
+        (
             "doc_repetition — fused Gopher gram branch",
             qs["doc_repetition"](spark, SF),
             "Two scans total: the distinct-ratio branch is a narrow "
