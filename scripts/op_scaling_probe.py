@@ -426,6 +426,26 @@ def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
                 docs, "doc_id", "text", window_k=4, min_docs=2
             )
         )
+    elif op == "corpus_build":
+        # the CAPSTONE composition (fork-drop -> corpus-global line dedup
+        # -> quality filter -> exact dedup) over the replica corpus —
+        # replicas are source- and word-disjoint, so fork pairs and
+        # duplicated lines stay replica-local (linear output)
+        import __spark_entry__ as E
+
+        # stage 1: fork detection (distinct digest distillation + pair agg)
+        stages["fork_detect"] = timed(
+            lambda: D.group_digest_overlap(
+                docs.select("source", "text"), "source", "text",
+                prefix_len=60, max_groups=50,
+            )
+        )
+        # end-to-end capstone summary (one row out)
+        stages["total"] = timed(
+            lambda: E.build_corpus_summary(
+                docs.select("doc_id", "source", "text")
+            )
+        )
     else:
         raise SystemExit(f"unknown op {op}")
 
@@ -438,7 +458,8 @@ def main() -> None:
         "--op",
         required=True,
         choices=[
-            "jaccard", "clusters", "semdedup", "unigram", "secrets", "despan",
+            "jaccard", "clusters", "semdedup", "unigram", "secrets",
+            "despan", "corpus_build",
         ],
     )
     ap.add_argument("--n", type=int, default=4)
