@@ -2249,11 +2249,29 @@ def q_code_markers(spark, sf_dir):
     fraction (heuristics.comment_char_fraction over the frozen CODE_NORM
     patterns) as a per-lang DECIMAL-exact mean — the exact-sum rule: the
     per-file doubles are rounded then summed as DECIMAL(18,6) on both
-    engines so the mean is re-association-proof."""
+    engines so the mean is re-association-proof — plus autogenerated-file
+    and test-path detection (The Stack-style curation signals) over
+    deterministic planted fixtures: every length%7==0 file gets a
+    generated banner appended, every length%11==3 file a tests/test_
+    path prefix, so both predicates exercise accept AND reject."""
     from data_quality_spark.corpus import generate_files_df
     from data_quality_spark.functions import heuristics as H
 
     files = generate_files_df(spark, n_files=PIPE_N_FILES, seed=PIPE_SEED)
+    files = files.select(
+        "lang",
+        F.when(
+            F.length("content") % 7 == 0,
+            F.concat(
+                F.col("content"),
+                F.lit("\n// Code generated by synth-gen. DO NOT EDIT.\n"),
+            ),
+        ).otherwise(F.col("content")).alias("content"),
+        F.when(
+            F.length("content") % 11 == 3,
+            F.concat(F.lit("tests/test_"), F.col("path")),
+        ).otherwise(F.col("path")).alias("path"),
+    )
     c = F.col("content")
     return (
         files.groupBy("lang")
@@ -2262,6 +2280,10 @@ def q_code_markers(spark, sf_dir):
             F.sum(H.has_license_header(c).cast("long")).alias("n_license"),
             F.sum(H.looks_minified(c).cast("long")).alias("n_minified"),
             F.sum(H.has_hex_blob(c).cast("long")).alias("n_hex_blob"),
+            F.sum(H.has_generated_marker(c).cast("long")).alias("n_generated"),
+            F.sum(H.is_test_path(F.col("path")).cast("long")).alias(
+                "n_test_files"
+            ),
             F.round(
                 (
                     F.sum(
@@ -2305,6 +2327,39 @@ def _sql_code_markers() -> str:
         stripped = "\n".join(lines)
         return round((len(s) - len(stripped)) / max(len(s), 1), 6)
 
+    # replay the query's deterministic planting (generated banner on
+    # length%7==0 files, tests/test_ path prefix on length%11==3), then
+    # detect with INDEPENDENT implementations (substring `in` / path-part
+    # checks, not the Column regexes)
+    pdf = pdf.copy()
+    planted_content, planted_path = [], []
+    for s, p in zip(pdf.content, pdf.path):
+        n = len(s)
+        planted_content.append(
+            s + "\n// Code generated by synth-gen. DO NOT EDIT.\n"
+            if n % 7 == 0 else s
+        )
+        planted_path.append("tests/test_" + p if n % 11 == 3 else p)
+    pdf["content"], pdf["path"] = planted_content, planted_path
+
+    def is_gen(s: str) -> bool:
+        return any(
+            m in s for m in ("DO NOT EDIT", "@generated", "Code generated by")
+        )
+
+    def is_test(p: str) -> bool:
+        parts = p.split("/")
+        if any(d in ("test", "tests", "spec", "__tests__") for d in parts[:-1]):
+            return True
+        fn = parts[-1]
+        if fn.startswith("test_"):
+            return True
+        stem, dot, ext = fn.rpartition(".")
+        if dot and ext.isalnum() and ext:
+            if stem.endswith("_test") or stem.endswith(".spec"):
+                return True
+        return False
+
     rows = []
     for lang, g in pdf.groupby("lang"):
         lic = int(g.content.str.contains(
@@ -2313,6 +2368,8 @@ def _sql_code_markers() -> str:
             lambda s: max((len(l) for l in s.split("\n")), default=0) >= 200
         ).sum())
         hexb = int(g.content.map(lambda s: hex_re.search(s) is not None).sum())
+        gen = int(g.content.map(is_gen).sum())
+        tst = int(g.path.map(is_test).sum())
         csum = sum(Decimal(f"{comment_frac(s):.6f}") for s in g.content)
         cavg = round(float(csum / len(g)), 6)
         rows.append(
@@ -2320,6 +2377,8 @@ def _sql_code_markers() -> str:
             f"CAST({lic} AS BIGINT) AS n_license, "
             f"CAST({minif} AS BIGINT) AS n_minified, "
             f"CAST({hexb} AS BIGINT) AS n_hex_blob, "
+            f"CAST({gen} AS BIGINT) AS n_generated, "
+            f"CAST({tst} AS BIGINT) AS n_test_files, "
             f"CAST({cavg} AS DOUBLE) AS avg_comment_frac"
         )
     return " UNION ALL ".join(rows)

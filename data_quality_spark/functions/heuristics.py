@@ -177,3 +177,32 @@ def comment_char_fraction(content: Column) -> Column:
     return (F.length(content) - F.length(stripped)).cast(
         "double"
     ) / F.greatest(F.length(content), F.lit(1)).cast("double")
+
+
+# Autogenerated-file markers (The Stack / StarCoder filter these files —
+# lockstep-generated code inflates dedup clusters and teaches nothing).
+GENERATED_MARKERS = ["DO NOT EDIT", "@generated", "Code generated by"]
+
+# Test-file path convention: tests are commonly tagged or deprioritized
+# when curating code corpora. ASCII regex, identical in Java and python re.
+TEST_PATH_RE = (
+    r"(^|/)(test|tests|spec|__tests__)/"
+    r"|(^|/)test_[^/]*$"
+    r"|_test\.[A-Za-z0-9]+$"
+    r"|\.spec\.[A-Za-z0-9]+$"
+)
+
+
+def has_generated_marker(content: Column) -> Column:
+    """Autogenerated-file signature: any of GENERATED_MARKERS present
+    (case-sensitive substring — one contains() per marker, codegen'd)."""
+    out = F.lit(False)
+    for m in GENERATED_MARKERS:
+        out = out | content.contains(m)
+    return out
+
+
+def is_test_path(path: Column) -> Column:
+    """Test-file path convention (test/tests/spec/__tests__ dirs, test_*
+    files, *_test.ext, *.spec.ext)."""
+    return path.rlike(TEST_PATH_RE)

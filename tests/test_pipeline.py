@@ -227,3 +227,37 @@ def test_comment_char_fraction_truth_table(spark):
     assert got[4] == round((5 - 1 + 10 - 1) / 16, 6)
     assert got[5] == round((7 - 1 + 7 - 1) / 17, 6)
     assert got[6] == 0.0
+
+
+def test_generated_and_test_path_predicates(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions import heuristics as H
+
+    rows = [
+        (1, "// Code generated by protoc-gen-go. DO NOT EDIT.\npackage x", "src/a.go"),
+        (2, "/* @generated */\nmodule.exports = {}", "lib/b.js"),
+        (3, "def f():\n    return 1", "tests/helper.py"),       # test DIR
+        (4, "x = 1", "src/test_core.py"),                        # test_ file
+        (5, "y = 2", "pkg/core_test.go"),                        # _test.ext
+        (6, "z = 3", "ui/button.spec.ts"),                       # .spec.ext
+        (7, "plain code", "src/main.rs"),                        # neither
+        (8, "contested but not a marker", "src/protester.py"),   # no false hit
+    ]
+    df = spark.createDataFrame(rows, "id long, content string, path string")
+    got = {
+        r["id"]: (r["g"], r["t"])
+        for r in df.select(
+            "id",
+            H.has_generated_marker(F.col("content")).alias("g"),
+            H.is_test_path(F.col("path")).alias("t"),
+        ).collect()
+    }
+    assert got[1] == (True, False)
+    assert got[2] == (True, False)
+    assert got[3] == (False, True)
+    assert got[4] == (False, True)
+    assert got[5] == (False, True)
+    assert got[6] == (False, True)
+    assert got[7] == (False, False)
+    assert got[8] == (False, False)
