@@ -1183,19 +1183,35 @@ SQL_BIGRAM_LM_FIT = """
 def q_hygiene_report(spark, sf_dir):
     """One-pass hygiene sweep (plans/hygiene.hygiene_report): per-source
     doc counts, mean chars, mean within-doc 2-gram repetition (decimal
-    exact-sum rule), and marker prevalences — single scan, one map-side-
-    combined shuffle; the triage pass that runs before anything expensive."""
+    exact-sum rule), and marker prevalences incl. control-char/U+FFFD
+    encoding damage (r5; a BEL byte planted on every length%13==0 doc so
+    the predicate exercises accept AND reject) — single scan, one
+    map-side-combined shuffle; the triage pass that runs before anything
+    expensive."""
     from data_quality_spark.plans.hygiene import hygiene_report
 
     d = _read(spark, sf_dir, "documents").select("source", "text")
+    d = d.select(
+        "source",
+        F.when(
+            F.length("text") % 13 == 0,
+            F.concat(F.col("text"), F.lit("\x07")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
     return hygiene_report(d, "source", "text", rep_k=2)
 
 
 SQL_HYGIENE_REPORT = """
-    WITH w AS (
+    WITH d0 AS (
+      -- replay the query's encoding-damage planting (BEL on len%13==0)
+      SELECT source,
+             text || CASE WHEN length(text) % 13 = 0 THEN chr(7)
+                          ELSE '' END AS text
+      FROM documents
+    ), w AS (
       SELECT source, text, str_split(text, ' ') AS ws,
              length(text) AS nc
-      FROM documents
+      FROM d0
     ), g AS (
       SELECT source, text, nc,
              list_transform(range(1, greatest(len(ws) - 2 + 1, 1) + 1),
@@ -1211,7 +1227,10 @@ SQL_HYGIENE_REPORT = """
                                         l -> length(l) >= 200)) > 0
                   THEN 1 ELSE 0 END AS minif,
              CASE WHEN regexp_matches(text, '[0-9a-fA-F]{40,}')
-                  THEN 1 ELSE 0 END AS hexb
+                  THEN 1 ELSE 0 END AS hexb,
+             CASE WHEN regexp_matches(text,
+                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]|\\x{FFFD}')
+                  THEN 1 ELSE 0 END AS ctl
       FROM g
     )
     SELECT source,
@@ -1220,7 +1239,8 @@ SQL_HYGIENE_REPORT = """
            round(CAST(sum(rep) AS DOUBLE) / count(*), 6) AS avg_repetition,
            CAST(sum(lic) AS BIGINT) AS n_license,
            CAST(sum(minif) AS BIGINT) AS n_minified,
-           CAST(sum(hexb) AS BIGINT) AS n_hex_blob
+           CAST(sum(hexb) AS BIGINT) AS n_hex_blob,
+           CAST(sum(ctl) AS BIGINT) AS n_ctrl
     FROM r
     GROUP BY source
 """
@@ -4850,6 +4870,7 @@ CHANGED_THIS_ROUND = [
     "code_markers",         # r5: + StarCoder comment-char-fraction column
     "despan_apply",         # NEW in r5: Lee-et-al. substring-dedup apply
     "corpus_build",         # r5: composition extracted (build_corpus_summary)
+    "hygiene_report",       # r5: + control-char/U+FFFD encoding-damage count
 ]
 
 # The 50-entry driver window is FULL this round (35 r3-tail rotations +

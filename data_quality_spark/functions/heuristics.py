@@ -206,3 +206,15 @@ def is_test_path(path: Column) -> Column:
     """Test-file path convention (test/tests/spec/__tests__ dirs, test_*
     files, *_test.ext, *.spec.ext)."""
     return path.rlike(TEST_PATH_RE)
+
+
+# Control chars (minus \t \n \r) + the U+FFFD replacement char — the
+# encoding-hygiene signal (CCNet/RefinedWeb strip or drop such docs;
+# U+FFFD density marks decode errors upstream). ASCII ranges + one literal
+# codepoint: identical semantics in Java regex and RE2.
+CTRL_CHAR_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]|�"
+
+
+def has_control_chars(content: Column) -> Column:
+    """Doc contains raw control characters or U+FFFD (encoding damage)."""
+    return content.rlike(CTRL_CHAR_RE)

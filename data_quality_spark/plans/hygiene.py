@@ -27,8 +27,8 @@ def hygiene_report(
 
     Returns, per ``group_col``: row count, mean chars, mean within-doc
     k-gram repetition, and marker prevalences (license header, minified
-    signature, hex-blob run) as counts. All doubles rounded to 6 (oracle
-    parity convention).
+    signature, hex-blob run, control-char/U+FFFD encoding damage) as
+    counts. All doubles rounded to 6 (oracle parity convention).
     """
     c = F.col(text_col)
     g = (
@@ -47,6 +47,7 @@ def hygiene_report(
             H.has_license_header(c).cast("long").alias("_lic"),
             H.looks_minified(c).cast("long").alias("_min"),
             H.has_hex_blob(c).cast("long").alias("_hex"),
+            H.has_control_chars(c).cast("long").alias("_ctl"),
         )
     )
     return (
@@ -62,5 +63,6 @@ def hygiene_report(
             F.sum("_lic").alias("n_license"),
             F.sum("_min").alias("n_minified"),
             F.sum("_hex").alias("n_hex_blob"),
+            F.sum("_ctl").alias("n_ctrl"),
         )
     )

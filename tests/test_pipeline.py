@@ -261,3 +261,28 @@ def test_generated_and_test_path_predicates(spark):
     assert got[6] == (False, True)
     assert got[7] == (False, False)
     assert got[8] == (False, False)
+
+
+def test_control_char_predicate_truth_table(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions import heuristics as H
+
+    rows = [
+        (1, "clean text\nwith lines\tand tabs\r\n"),   # \t \n \r allowed
+        (2, "damaged \x00 byte"),
+        (3, "bell \x07 here"),
+        (4, "del \x7f char"),
+        (5, "replacement � char"),
+        (6, "plain ascii only"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", H.has_control_chars(F.col("content")).alias("c")
+        ).collect()
+    }
+    assert got[1] is False and got[6] is False
+    for i in (2, 3, 4, 5):
+        assert got[i] is True, i
