@@ -426,6 +426,35 @@ def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
                 docs, "doc_id", "text", window_k=4, min_docs=2
             )
         )
+    elif op == "gopher":
+        from data_quality_spark.functions.text import gopher_gram_fractions
+
+        # stage 1: the narrow distinct-ratio branch (per-row exprs)
+        from data_quality_spark.functions import heuristics as H
+
+        def narrow():
+            d2 = (
+                docs.withColumn("_ws", F.split("text", " "))
+                .withColumn("_g2", H.word_kgrams(F.col("_ws"), 2))
+                .withColumn("_g3", H.word_kgrams(F.col("_ws"), 3))
+            )
+            return d2.select(
+                "doc_id",
+                F.round(H.repetition_ratio(F.col("_g2")), 6).alias("rep2"),
+                F.round(H.repetition_ratio(F.col("_g3")), 6).alias("rep3"),
+            )
+
+        stages["narrow_ratios"] = timed(narrow)
+        # stage 2: the fused char-fraction branch (one tagged explode +
+        # one (id,k,gram) count + one id aggregate)
+        stages["char_fractions"] = timed(
+            lambda: gopher_gram_fractions(docs, "doc_id", "text")
+        )
+        stages["total"] = timed(
+            lambda: narrow().join(
+                gopher_gram_fractions(docs, "doc_id", "text"), "doc_id"
+            )
+        )
     elif op == "corpus_build":
         # the CAPSTONE composition (fork-drop -> corpus-global line dedup
         # -> quality filter -> exact dedup) over the replica corpus —
@@ -459,7 +488,7 @@ def main() -> None:
         required=True,
         choices=[
             "jaccard", "clusters", "semdedup", "unigram", "secrets",
-            "despan", "corpus_build",
+            "despan", "corpus_build", "gopher",
         ],
     )
     ap.add_argument("--n", type=int, default=4)
