@@ -1201,7 +1201,7 @@ def q_hygiene_report(spark, sf_dir):
     return hygiene_report(d, "source", "text", rep_k=2)
 
 
-SQL_HYGIENE_REPORT = """
+SQL_HYGIENE_REPORT = f"""
     WITH d0 AS (
       -- replay the query's encoding-damage planting (BEL on len%13==0)
       SELECT source,
@@ -1213,25 +1213,32 @@ SQL_HYGIENE_REPORT = """
              length(text) AS nc
       FROM d0
     ), g AS (
+      -- HASHED rolling 2-gram windows (the Spark side's
+      -- _window_hash_array — identical hashing, shared collisions)
       SELECT source, text, nc,
-             list_transform(range(1, greatest(len(ws) - 2 + 1, 1) + 1),
-               i -> array_to_string(ws[i : i + 1], ' ')) AS g2
+             list_transform(str_split(text, ' '), x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
       FROM w
+    ), g2 AS (
+      SELECT source, text, nc,
+             list_transform(range(1, greatest(len(wh) - 2 + 1, 1) + 1),
+               i -> {_sql_rolling_combine(2)}) AS g2h
+      FROM g
     ), r AS (
       SELECT source, nc,
-             CAST(round(1.0 - len(list_distinct(g2))::DOUBLE
-                        / greatest(len(g2), 1), 6) AS DECIMAL(18,6)) AS rep,
+             CAST(round(1.0 - len(list_distinct(g2h))::DOUBLE
+                        / greatest(len(g2h), 1), 6) AS DECIMAL(18,6)) AS rep,
              CASE WHEN text LIKE '%Licensed under the Apache License%'
                   THEN 1 ELSE 0 END AS lic,
              CASE WHEN len(list_filter(str_split(text, chr(10)),
                                         l -> length(l) >= 200)) > 0
                   THEN 1 ELSE 0 END AS minif,
-             CASE WHEN regexp_matches(text, '[0-9a-fA-F]{40,}')
+             CASE WHEN regexp_matches(text, '[0-9a-fA-F]{{40,}}')
                   THEN 1 ELSE 0 END AS hexb,
              CASE WHEN regexp_matches(text,
-                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]|\\x{FFFD}')
+                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]|\\x{{FFFD}}')
                   THEN 1 ELSE 0 END AS ctl
-      FROM g
+      FROM g2
     )
     SELECT source,
            count(*) AS n_docs,
@@ -2417,10 +2424,15 @@ def q_doc_repetition(spark, sf_dir):
     from data_quality_spark.functions.text import gopher_gram_fractions
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # HASHED grams for the distinct-ratio branch (r5 probe finding: string
+    # k-gram arrays allocate ~2×n_words small strings per row and
+    # anti-scale with task parallelism — GC churn; the rolling word-hash
+    # windows are long arrays, same distinct counts, and the oracle
+    # replays the identical hashing so even a collision is shared)
     rep = (
-        d.withColumn("_ws", F.split("text", " "))
-        .withColumn("_g2", H.word_kgrams(F.col("_ws"), 2))
-        .withColumn("_g3", H.word_kgrams(F.col("_ws"), 3))
+        d.withColumn("_wh", DD.word_hash_array("text"))
+        .withColumn("_g2", DD._window_hash_array(F.col("_wh"), 2))
+        .withColumn("_g3", DD._window_hash_array(F.col("_wh"), 3))
         .select(
             "doc_id",
             F.round(H.repetition_ratio(F.col("_g2")), 6).alias("rep2"),
@@ -2437,22 +2449,30 @@ def q_doc_repetition(spark, sf_dir):
     )
 
 
-SQL_DOC_REPETITION = """
+SQL_DOC_REPETITION = f"""
     WITH w AS (
       SELECT doc_id, str_split(text, ' ') AS ws,
              greatest(length(text), 1) AS tc
       FROM documents
+    ), h AS (
+      SELECT doc_id, tc, ws,
+             list_transform(ws, x ->
+               ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
+      FROM w
     ), g AS (
-      -- ws[i : i+k-1] mirrors Spark's slice(): docs shorter than k words
-      -- fold to one (shorter) gram, no index clamping
+      -- rep ratios over HASHED rolling windows (the Spark side's
+      -- _window_hash_array — identical hashing, shared collisions);
+      -- string grams only where the char fractions need lengths
       SELECT doc_id, tc,
+             list_transform(range(1, greatest(len(wh) - 2 + 1, 1) + 1),
+               i -> {_sql_rolling_combine(2)}) AS g2h,
+             list_transform(range(1, greatest(len(wh) - 3 + 1, 1) + 1),
+               i -> {_sql_rolling_combine(3)}) AS g3h,
              list_transform(range(1, greatest(len(ws) - 2 + 1, 1) + 1),
                i -> array_to_string(ws[i : i + 1], ' ')) AS g2,
-             list_transform(range(1, greatest(len(ws) - 3 + 1, 1) + 1),
-               i -> array_to_string(ws[i : i + 2], ' ')) AS g3,
              list_transform(range(1, greatest(len(ws) - 5 + 1, 1) + 1),
                i -> array_to_string(ws[i : i + 4], ' ')) AS g5
-      FROM w
+      FROM h
     ), c2 AS (
       SELECT doc_id, g2u AS gr, count(*) AS c
       FROM (SELECT doc_id, unnest(g2) AS g2u FROM g)
@@ -2475,10 +2495,10 @@ SQL_DOC_REPETITION = """
       FROM c5 GROUP BY doc_id
     )
     SELECT g.doc_id,
-           round(1.0 - len(list_distinct(g2))::DOUBLE
-                 / greatest(len(g2), 1), 6) AS rep2,
-           round(1.0 - len(list_distinct(g3))::DOUBLE
-                 / greatest(len(g3), 1), 6) AS rep3,
+           round(1.0 - len(list_distinct(g2h))::DOUBLE
+                 / greatest(len(g2h), 1), 6) AS rep2,
+           round(1.0 - len(list_distinct(g3h))::DOUBLE
+                 / greatest(len(g3h), 1), 6) AS rep3,
            round((top2.mc * length(top2.tg))::DOUBLE / g.tc, 6) AS top2_frac,
            round(coalesce(d5.dchars, 0)::DOUBLE / g.tc, 6) AS dup5_frac
     FROM g

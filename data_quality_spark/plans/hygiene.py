@@ -30,10 +30,19 @@ def hygiene_report(
     signature, hex-blob run, control-char/U+FFFD encoding damage) as
     counts. All doubles rounded to 6 (oracle parity convention).
     """
+    from data_quality_spark.operators.dedup import (
+        _window_hash_array,
+        word_hash_array,
+    )
+
     c = F.col(text_col)
+    # HASHED rolling windows for the repetition ratio (string k-gram
+    # arrays allocate ~n_words small strings per row and anti-scale with
+    # task parallelism — measured in the r5 gopher probe; hashes give the
+    # same distinct counts and every oracle replays the identical hashing)
     g = (
-        df.withColumn("_ws", F.split(c, " "))
-        .withColumn("_grams", H.word_kgrams(F.col("_ws"), rep_k))
+        df.withColumn("_wh", word_hash_array(text_col))
+        .withColumn("_grams", _window_hash_array(F.col("_wh"), rep_k))
         .select(
             group_col,
             H.n_chars(c).alias("_nc"),

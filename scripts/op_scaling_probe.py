@@ -429,14 +429,16 @@ def leg_main(op: str, cpus: int, replicas: int, runs: int) -> None:
     elif op == "gopher":
         from data_quality_spark.functions.text import gopher_gram_fractions
 
-        # stage 1: the narrow distinct-ratio branch (per-row exprs)
+        # stage 1: the narrow distinct-ratio branch — HASHED rolling
+        # windows (the shipped form; the string-gram v1 measured eff 0.38
+        # at x64 from per-row allocation churn, see PROBES.jsonl)
         from data_quality_spark.functions import heuristics as H
 
         def narrow():
             d2 = (
-                docs.withColumn("_ws", F.split("text", " "))
-                .withColumn("_g2", H.word_kgrams(F.col("_ws"), 2))
-                .withColumn("_g3", H.word_kgrams(F.col("_ws"), 3))
+                docs.withColumn("_wh", D.word_hash_array("text"))
+                .withColumn("_g2", D._window_hash_array(F.col("_wh"), 2))
+                .withColumn("_g3", D._window_hash_array(F.col("_wh"), 3))
             )
             return d2.select(
                 "doc_id",
