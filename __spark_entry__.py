@@ -2460,38 +2460,45 @@ SQL_DOC_REPETITION = f"""
                ('0x'||substring(md5(x),1,8))::BIGINT % 2147483647) AS wh
       FROM w
     ), g AS (
-      -- rep ratios over HASHED rolling windows (the Spark side's
-      -- _window_hash_array — identical hashing, shared collisions);
-      -- string grams only where the char fractions need lengths
+      -- rep ratios AND char fractions over HASHED rolling windows (the
+      -- Spark side's _window_hash_array — identical hashing, shared
+      -- collisions); span char-length is arithmetic: Σ word lengths of
+      -- words i..min(i+k-1, n) + joining spaces (== the gram string's
+      -- length when n >= k, the whole doc for the clamped short window)
       SELECT doc_id, tc,
              list_transform(range(1, greatest(len(wh) - 2 + 1, 1) + 1),
                i -> {_sql_rolling_combine(2)}) AS g2h,
              list_transform(range(1, greatest(len(wh) - 3 + 1, 1) + 1),
                i -> {_sql_rolling_combine(3)}) AS g3h,
+             list_transform(range(1, greatest(len(wh) - 5 + 1, 1) + 1),
+               i -> {_sql_rolling_combine(5)}) AS g5h,
              list_transform(range(1, greatest(len(ws) - 2 + 1, 1) + 1),
-               i -> array_to_string(ws[i : i + 1], ' ')) AS g2,
+               i -> length(array_to_string(ws[i : i + 1], ' '))) AS l2,
              list_transform(range(1, greatest(len(ws) - 5 + 1, 1) + 1),
-               i -> array_to_string(ws[i : i + 4], ' ')) AS g5
+               i -> length(array_to_string(ws[i : i + 4], ' '))) AS l5
       FROM h
     ), c2 AS (
-      SELECT doc_id, g2u AS gr, count(*) AS c
-      FROM (SELECT doc_id, unnest(g2) AS g2u FROM g)
-      GROUP BY doc_id, g2u
+      SELECT doc_id, gh, max(glen) AS glen, count(*) AS c
+      FROM (SELECT doc_id, unnest(g2h) AS gh, unnest(l2) AS glen FROM g)
+      GROUP BY doc_id, gh
     ), m2 AS (
       SELECT doc_id, max(c) AS mc FROM c2 GROUP BY doc_id
-    ), top2 AS (
-      -- max count, ties -> lexicographically LARGEST gram (the Spark
-      -- side's max_by(g, struct(c, g)) contract)
-      SELECT c2.doc_id, max(c2.gr) AS tg, max(c2.c) AS mc
+    ), t2a AS (
+      SELECT c2.doc_id, max(c2.glen) AS glen, max(c2.c) AS mc
       FROM c2 JOIN m2 ON c2.doc_id = m2.doc_id AND c2.c = m2.mc
       GROUP BY c2.doc_id
+    ), top2 AS (
+      -- the Spark side's max_by(c*glen, struct(c, glen, gh)) contract:
+      -- max count, ties by larger char-length then hash — the value is
+      -- mc*glen of that row (glen decides before gh ever matters)
+      SELECT doc_id, mc, glen FROM t2a
     ), c5 AS (
-      SELECT doc_id, g5u AS gr, count(*) AS c
-      FROM (SELECT doc_id, unnest(g5) AS g5u FROM g)
-      GROUP BY doc_id, g5u
+      SELECT doc_id, gh, max(glen) AS glen, count(*) AS c
+      FROM (SELECT doc_id, unnest(g5h) AS gh, unnest(l5) AS glen FROM g)
+      GROUP BY doc_id, gh
     ), d5 AS (
       SELECT doc_id,
-             sum(CASE WHEN c > 1 THEN c * length(gr) ELSE 0 END) AS dchars
+             sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dchars
       FROM c5 GROUP BY doc_id
     )
     SELECT g.doc_id,
@@ -2499,7 +2506,7 @@ SQL_DOC_REPETITION = f"""
                  / greatest(len(g2h), 1), 6) AS rep2,
            round(1.0 - len(list_distinct(g3h))::DOUBLE
                  / greatest(len(g3h), 1), 6) AS rep3,
-           round((top2.mc * length(top2.tg))::DOUBLE / g.tc, 6) AS top2_frac,
+           round((top2.mc * top2.glen)::DOUBLE / g.tc, 6) AS top2_frac,
            round(coalesce(d5.dchars, 0)::DOUBLE / g.tc, 6) AS dup5_frac
     FROM g
     JOIN top2 ON g.doc_id = top2.doc_id

@@ -155,8 +155,9 @@ def test_repetition_ratio_truth_table(spark):
 
 def test_gopher_gram_fractions_truth_table(spark):
     """Gopher char-coverage rules vs a direct python reference (same
-    k-gram clamping, max-count tie -> lexicographically largest gram,
-    duplicate chars counted per occurrence)."""
+    k-gram clamping; max-count tie -> longest gram — the hashed impl's
+    struct(c, glen, gh) contract, where the hash only breaks ties the
+    value doesn't depend on; duplicate chars counted per occurrence)."""
     from collections import Counter
 
     from data_quality_spark.functions.text import gopher_gram_fractions
@@ -172,10 +173,10 @@ def test_gopher_gram_fractions_truth_table(spark):
         tc = max(len(text), 1)
         ct = Counter(grams(top_n))
         mc = max(ct.values())
-        tg = max(g for g, c in ct.items() if c == mc)
+        glen = max(len(g) for g, c in ct.items() if c == mc)
         cd = Counter(grams(dup_n))
         dch = sum(c * len(g) for g, c in cd.items() if c > 1)
-        return round(mc * len(tg) / tc, 6), round(dch / tc, 6)
+        return round(mc * glen / tc, 6), round(dch / tc, 6)
 
     texts = [
         "a b a b a b",                    # looping 2-gram
