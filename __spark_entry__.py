@@ -3367,19 +3367,13 @@ def q_semdedup(spark, sf_dir):
     s = sem.join(vec, "vec_id")
     kept = s.filter(F.col("is_kept") == 1).select(
         "cluster", F.col("vec_id").alias("k"), F.col("v").alias("kv"),
-        F.col("n").alias("kn"),
     )
-    kept_viol = (
-        kept.alias("x")
-        .join(kept.alias("y"), "cluster")
-        .filter(F.col("x.k") < F.col("y.k"))
-        .filter(
-            SIM._dot(F.col("x.kv"), F.col("y.kv"))
-            / (F.col("x.kn") * F.col("y.kn"))
-            >= tau
-        )
-        .agg(F.count("*").alias("nv"))
-    )
+    # exact within-cluster pair pass over the kept set — the tiled numpy
+    # kernel (bit-identical cosines to the old kept×kept fold join, which
+    # was the query's dominant cost at scale)
+    kept_viol = DD.embedding_cosine_pairs(
+        kept, "k", "kv", "cluster", threshold=tau
+    ).agg(F.count("*").alias("nv"))
     dropped = s.filter(F.col("is_kept") == 0)
     dom_viol = (
         dropped.alias("d")

@@ -622,33 +622,63 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine within a blocking group.
 
-    dot products via zip_with + aggregate (JVM-side); O(n²) only inside
-    each group — pass an LSH bucket as group_col at scale."""
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double"),
+    O(n²) only inside each group — pass an LSH bucket as group_col at
+    scale. Each group runs the tiled numpy kernel from similarity.py
+    (one Arrow pass per group; cosines bit-identical to the old
+    zip_with-fold self-join, which paid three interpreted ~d-step folds
+    per pair and shuffled both vectors per joined row)."""
+    import numpy as np
+
+    from .similarity import (
+        _PAIR_TILE,
+        _np_cos_tile,
+        _np_norms,
+        _np_pair_mask,
+        _np_sorted_group,
+    )
+
+    def pairs(pdf):
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            k = pdf["_k"].to_numpy()[:0]
+            return pd.DataFrame(
+                {"a": k, "b": k, "cosine": np.zeros(0)}
+            )
+        keys, A, dup = _np_sorted_group(pdf, "_k", "_v")
+        nrm = _np_norms(A)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, m, _PAIR_TILE):
+            i1 = min(i0 + _PAIR_TILE, m)
+            for j0 in range(i0, m, _PAIR_TILE):
+                j1 = min(j0 + _PAIR_TILE, m)
+                cos = _np_cos_tile(A, nrm, i0, i1, j0, j1)
+                M = _np_pair_mask(cos >= threshold, keys, i0, i1, j0, j1, dup)
+                ii, jj = np.nonzero(M)
+                if len(ii):
+                    out_a.append(keys[i0 + ii])
+                    out_b.append(keys[j0 + jj])
+                    out_c.append(cos[ii, jj])
+        if not out_a:
+            k = keys[:0]
+            return pd.DataFrame({"a": k, "b": k, "cosine": np.zeros(0)})
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         )
 
-    v = df.select(key_col, group_col, F.col(vec_col).alias("v"))
-    l, r = v.alias("l"), v.alias("r")
-    cos = dot(F.col("l.v"), F.col("r.v")) / (
-        F.sqrt(dot(F.col("l.v"), F.col("l.v")))
-        * F.sqrt(dot(F.col("r.v"), F.col("r.v")))
-    )
-    return (
-        l.join(
-            r,
-            (F.col(f"l.{group_col}") == F.col(f"r.{group_col}"))
-            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
-        )
-        .select(
-            F.col(f"l.{key_col}").alias("a"),
-            F.col(f"r.{key_col}").alias("b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    key_t = df.schema[key_col].dataType.simpleString()
+    v = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(group_col).alias("_g"),
+        F.col(vec_col).alias("_v"),
+    ).filter(F.col("_g").isNotNull())
+    return v.groupBy("_g").applyInPandas(
+        pairs, f"a {key_t}, b {key_t}, cosine double"
     )
 
 

@@ -23,6 +23,89 @@ def _dot(a, b):
     )
 
 
+# ---------------------------------------------------------------------------
+# Vectorized within-group pair kernels (numpy, Arrow-batched).
+#
+# The quadratic primitives (within-group cosine pairs, min-key dominance)
+# used to run as a self-join whose per-pair cosine was three interpreted
+# aggregate(zip_with(...)) folds — ~30 µs/pair of expression-interpreter
+# time, with both 64-double vectors materialized per joined row. The
+# kernels below ship each blocking group once through Arrow and evaluate
+# the SAME IEEE operations in the SAME order as the fold (dimension t is
+# accumulated left-to-right: ((0.0 + x₁y₁) + x₂y₂) + …, product rounded
+# before each add, norms sqrt'd from the same self-dot fold, denominator
+# na*nb rounded once before the divide), so every cosine is bit-identical
+# to the zip_with fold and to the oracle's sequential list_dot_product —
+# rounded hashes cannot move. Tiled so a hot group never materializes an
+# m×m matrix.
+
+_PAIR_TILE = 512
+
+
+def _np_norms(A: "np.ndarray") -> "np.ndarray":
+    nsq = np.zeros(A.shape[0])
+    for t in range(A.shape[1]):
+        nsq += A[:, t] * A[:, t]
+    return np.sqrt(nsq)
+
+
+def _np_cos_tile(A, nrm, i0, i1, j0, j1):
+    S = np.zeros((i1 - i0, j1 - j0))
+    Ai, Aj = A[i0:i1], A[j0:j1]
+    for t in range(A.shape[1]):
+        S += Ai[:, t][:, None] * Aj[:, t][None, :]
+    return S / (nrm[i0:i1][:, None] * nrm[j0:j1][None, :])
+
+
+def _np_sorted_group(pdf, key_name, vec_name):
+    """Sort a group by key ascending (positional i<j ⇔ key_i<key_j for
+    unique keys) and stack its vectors into an (m, d) float64 matrix."""
+    keys = pdf[key_name].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    A = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in pdf[vec_name].to_numpy()[order]])
+    # duplicate keys would make positional order a superset of the strict
+    # key order the join used — fall back to an explicit key mask then
+    dup = bool((keys[1:] == keys[:-1]).any()) if len(keys) > 1 else False
+    return keys, A, dup
+
+
+def _np_pair_mask(M, keys, i0, i1, j0, j1, dup):
+    """Restrict a tile's boolean matrix to strict key_i < key_j pairs."""
+    if i0 == j0:
+        M &= np.triu(np.ones(M.shape, dtype=bool), 1)
+    if dup:
+        M &= keys[i0:i1][:, None] < keys[j0:j1][None, :]
+    return M
+
+
+def _np_dominance(keys, A, tau, dup, tile=_PAIR_TILE):
+    """For each j: the smallest-keyed i with key_i < key_j and
+    cos(v_i, v_j) >= tau. Returns (dominator index array, found mask).
+    i-tiles ascend, so the first hit per column IS the min key."""
+    m = keys.shape[0]
+    nrm = _np_norms(A)
+    dom = np.zeros(m, dtype=np.int64)
+    have = np.zeros(m, dtype=bool)
+    for i0 in range(0, m, tile):
+        i1 = min(i0 + tile, m)
+        for j0 in range(i0, m, tile):
+            j1 = min(j0 + tile, m)
+            todo = ~have[j0:j1]
+            if not todo.any():
+                continue
+            M = _np_cos_tile(A, nrm, i0, i1, j0, j1) >= tau
+            M = _np_pair_mask(M, keys, i0, i1, j0, j1, dup)
+            hit = M.any(axis=0) & todo
+            if hit.any():
+                first = np.argmax(M, axis=0)
+                idx = np.nonzero(hit)[0]
+                dom[j0 + idx] = i0 + first[idx]
+                have[j0 + idx] = True
+    return dom, have
+
+
 def cosine_to_query(vec_col, query: list[float]):
     q = F.array(*[F.lit(float(x)) for x in query])
     qnorm = float(np.sqrt(np.dot(query, query)))
@@ -219,26 +302,28 @@ def _dominance(frame: DataFrame, group_cols: list[str], tau: float) -> DataFrame
     """(kb, dominator) for every vector with a LOWER-keyed τ-neighbor in
     its group — the one quadratic primitive, keyed by ``group_cols`` so
     its pair cost is Σ|group|²/2 and each group's pairs co-locate in one
-    shuffle partition. ``frame`` carries (k, v, n) + group cols; norms are
-    pre-materialized (no-CSE rule)."""
-    a = frame.select(
-        *group_cols, F.col("k").alias("ka"),
-        F.col("v").alias("va"), F.col("n").alias("na"),
-    )
-    b = frame.select(
-        *group_cols, F.col("k").alias("kb"),
-        F.col("v").alias("vb"), F.col("n").alias("nb"),
-    )
-    return (
-        a.join(b, group_cols)
-        .filter(F.col("ka") < F.col("kb"))
-        .withColumn(
-            "cos",
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-        )
-        .filter(F.col("cos") >= tau)
-        .groupBy("kb")
-        .agg(F.min("ka").alias("dominator"))
+    task. Runs the tiled numpy kernel per group (bit-identical cosines to
+    the zip_with fold — see the kernel block comment); the old self-join
+    paid ~30 µs of interpreter time per pair and shuffled both vectors
+    per joined row. A kb appears in exactly one group, so the kernel's
+    per-column first hit IS min(ka) globally."""
+
+    def find(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            k = pdf["k"].to_numpy()[:0]
+            return pd.DataFrame({"kb": k, "dominator": k})
+        keys, A, dup = _np_sorted_group(pdf, "k", "v")
+        dom, have = _np_dominance(keys, A, tau, dup)
+        return pd.DataFrame({"kb": keys[have], "dominator": keys[dom[have]]})
+
+    key_t = frame.schema["k"].dataType.simpleString()
+    pruned = frame.select(*group_cols, "k", "v")
+    for g in group_cols:
+        pruned = pruned.filter(F.col(g).isNotNull())
+    return pruned.groupBy(*group_cols).applyInPandas(
+        find, f"kb {key_t}, dominator {key_t}"
     )
 
 

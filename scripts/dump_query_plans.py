@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Dump .explain("formatted") for named queries to files.
+
+Usage: python scripts/dump_query_plans.py OUTDIR SUFFIX query [query ...]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), REPO_ROOT (default:
+the repo containing this script) — lets a git worktree at an older commit
+produce "before" plans with the same invocation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.environ.get(
+    "REPO_ROOT", os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    outdir, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+    os.makedirs(outdir, exist_ok=True)
+
+    import __spark_entry__ as E
+    from data_quality_spark.session import get_spark
+
+    spark = get_spark("plan-dump", cpus=8)
+    qmap = E.queries()
+    for name in names:
+        df = qmap[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+
+
+if __name__ == "__main__":
+    main()

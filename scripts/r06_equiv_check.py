@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Round-6 equivalence proof: the numpy pair kernels vs the old join+fold
+implementations, bit-for-bit on the real embeddings tables.
+
+Checks, at the given sf dir:
+  1. embedding_cosine_pairs (new kernel) == old self-join/fold pairs:
+     identical (a, b) sets and bitwise-identical raw cosines.
+  2. _dominance (new kernel) == old join+fold dominance on the semdedup
+     cluster assignment: identical (kb, dominator) sets.
+
+Usage: python scripts/r06_equiv_check.py [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from data_quality_spark.operators import dedup as DD  # noqa: E402
+from data_quality_spark.operators import similarity as SIM  # noqa: E402
+from data_quality_spark.session import get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def old_cosine_pairs(df, key_col, vec_col, group_col, threshold):
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double"),
+        )
+
+    v = df.select(key_col, group_col, F.col(vec_col).alias("v"))
+    l, r = v.alias("l"), v.alias("r")
+    cos = dot(F.col("l.v"), F.col("r.v")) / (
+        F.sqrt(dot(F.col("l.v"), F.col("l.v")))
+        * F.sqrt(dot(F.col("r.v"), F.col("r.v")))
+    )
+    return (
+        l.join(
+            r,
+            (F.col(f"l.{group_col}") == F.col(f"r.{group_col}"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("a"),
+            F.col(f"r.{key_col}").alias("b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def old_dominance(frame, group_cols, tau):
+    a = frame.select(
+        *group_cols, F.col("k").alias("ka"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = frame.select(
+        *group_cols, F.col("k").alias("kb"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, group_cols)
+        .filter(F.col("ka") < F.col("kb"))
+        .withColumn(
+            "cos",
+            SIM._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= tau)
+        .groupBy("kb")
+        .agg(F.min("ka").alias("dominator"))
+    )
+
+
+def bits(x: float) -> int:
+    return struct.unpack("<q", struct.pack("<d", x))[0]
+
+
+def main() -> None:
+    spark = get_spark("r06-equiv", cpus=16)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucketed = e.withColumn("bucket", SIM.lsh_bucket(F.col("v"), E.PLANES))
+
+    # --- 1. cosine pairs, threshold 0.5 (the embed_cosine_dup setting) ---
+    new = {
+        (r["a"], r["b"]): bits(r["cosine"])
+        for r in DD.embedding_cosine_pairs(
+            bucketed, "vec_id", "v", "bucket", threshold=0.5
+        ).collect()
+    }
+    old = {
+        (r["a"], r["b"]): bits(r["cosine"])
+        for r in old_cosine_pairs(
+            bucketed, "vec_id", "v", "bucket", threshold=0.5
+        ).collect()
+    }
+    assert set(new) == set(old), (
+        f"pair sets differ: {len(set(new) - set(old))} extra, "
+        f"{len(set(old) - set(new))} missing of {len(old)}"
+    )
+    nbit = sum(1 for k in old if new[k] != old[k])
+    assert nbit == 0, f"{nbit}/{len(old)} cosines not bitwise equal"
+    print(f"cosine_pairs OK: {len(old)} pairs, all bitwise identical")
+
+    # --- 2. dominance on the semdedup clustering (tau 0.5) ---
+    assigned, _ = SIM.ivf_index(e, "vec_id", "v", n_clusters=8, seed=7)
+    frame = assigned.select(
+        F.col("vec_id").alias("k"),
+        F.col("ivf_cluster").alias("c"),
+        F.col("v"),
+    ).withColumn("n", F.sqrt(SIM._dot(F.col("v"), F.col("v"))))
+    frame = frame.localCheckpoint()
+    new_d = {
+        r["kb"]: r["dominator"]
+        for r in SIM._dominance(frame, ["c"], 0.5).collect()
+    }
+    old_d = {
+        r["kb"]: r["dominator"]
+        for r in old_dominance(frame, ["c"], 0.5).collect()
+    }
+    assert new_d == old_d, (
+        f"dominance differs: {len(set(new_d.items()) ^ set(old_d.items()))} "
+        f"disagreements of {len(old_d)}"
+    )
+    print(f"dominance OK: {len(old_d)} dominated keys, identical")
+
+
+if __name__ == "__main__":
+    main()
