@@ -55,7 +55,21 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(_t(sf_dir, name))
+    df = spark.read.parquet(_t(sf_dir, name))
+    # Scale-adaptive scan parallelism: the sf tables are single-file,
+    # single-ROW-GROUP parquet, and a parquet row group is consumed whole
+    # by one task — so without this every narrow map stage (md5 hashing,
+    # HOF projections, Arrow kernels) ran on ONE core regardless of
+    # local[N] (measured: the sf1.0 word-hash projection was a 1-task
+    # stage). A production corpus has many files/row groups and keeps its
+    # natural scan partitioning (the condition is false there — no blanket
+    # repartition of 100 TB); only a scan narrower than the cluster's
+    # parallelism gets spread. Guard expression is partition-count only —
+    # no job is triggered.
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _utc(spark: SparkSession) -> None:
@@ -4031,7 +4045,9 @@ def q_decontaminate_fuzzy(spark, sf_dir):
 
     def bands(df):
         return DD.minhash_bands(
-            DD.minhash_signature(df, "text", MINHASH_NUM, MINHASH_K),
+            DD._minhash_signature_keyed(
+                df, "doc_id", "text", MINHASH_NUM, MINHASH_K
+            ),
             "doc_id",
             MINHASH_NUM,
             MINHASH_BANDS,

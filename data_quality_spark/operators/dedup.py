@@ -64,7 +64,7 @@ def build_dedup_index(
     10^12-doc corpus is never rescanned — only its index is touched.
     ``exact_col`` must match the one passed to incremental_dedup."""
     exact = df.select(F.md5(F.col(exact_col or text_col)).alias("digest")).distinct()
-    sig = minhash_signature(df, text_col, num_hashes, shingle_k)
+    sig = _minhash_signature_keyed(df, key_col, text_col, num_hashes, shingle_k)
     bands = (
         minhash_bands(sig, key_col, num_hashes, n_bands)
         .select("band_id", "band_key")
@@ -141,7 +141,9 @@ def incremental_dedup(
         .join(exact_index.withColumn("_e", F.lit(1)), "digest", "left")
         .select("k", F.coalesce(F.col("_e"), F.lit(0)).alias("exact_dup"))
     )
-    sig = minhash_signature(new_docs, text_col, num_hashes, shingle_k)
+    sig = _minhash_signature_keyed(
+        new_docs, key_col, text_col, num_hashes, shingle_k
+    )
     near = (
         minhash_bands(sig, key_col, num_hashes, n_bands)
         .withColumnRenamed(key_col, "k")
@@ -244,6 +246,43 @@ def minhash_signature(
     return df.withColumn("minhash", sig).drop("_wh")
 
 
+def _minhash_signature_keyed(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(key, minhash array) via explode + ONE codegen'd min-aggregate —
+    value-identical to :func:`minhash_signature` (min over the window
+    multiset == min over the distinct shingle set) but the per-seed minima
+    run as fused whole-stage-codegen aggregates with map-side partials
+    instead of an interpreted aggregate(zip_with(...)) fold that allocates
+    a num_hashes array per shingle. Requires a unique key (the per-row
+    form doesn't); explode_outer per the generator-inlining house rule."""
+    wins = (
+        df.select(F.col(key_col), F.col(text_col).alias("_t"))
+        .withColumn("_wh", word_hash_array("_t"))
+        .withColumn("_ws", _window_hash_array(F.col("_wh"), shingle_k))
+        .select(key_col, F.explode_outer("_ws").alias("h"))
+    )
+    mins = [
+        F.min(
+            (F.col("h") * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)))
+            % F.lit(MINHASH_PRIME)
+        ).alias(f"_s{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        wins.groupBy(key_col)
+        .agg(*mins)
+        .select(
+            key_col,
+            F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("minhash"),
+        )
+    )
+
+
 def minhash_bands(
     df: DataFrame, key_col: str, num_hashes: int = 16, n_bands: int = 4
 ) -> DataFrame:
@@ -279,14 +318,18 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs (a < b) that share ≥1 band bucket.
 
-    No explicit materialization of the band table: the self-join's two
-    sides share one subplan and Spark's ReuseExchange evaluates it once
-    (verified — an explicit localCheckpoint measured the same wall time
-    while making the function eager). At 100 TB signatures/bands are
-    still persisted with the table, but for cross-job reuse, not because
-    one job needs it."""
-    sig = minhash_signature(df, text_col, num_hashes, shingle_k)
-    bands = minhash_bands(sig, key_col, num_hashes, n_bands)
+    The band table is lazily localCheckpoint()ed before the self-join:
+    in Spark 4.1 the two join sides do NOT share one exchange here (the
+    r5 ReuseExchange claim no longer held — measured: the whole
+    signature pipeline evaluated twice, doubling the query), and the
+    band frame is tiny (rows × n_bands short strings) so materializing
+    it costs nothing. Signatures come from the keyed codegen'd
+    aggregate (value-identical; see _minhash_signature_keyed). At 100 TB
+    signatures/bands are persisted with the table for cross-job reuse."""
+    sig = _minhash_signature_keyed(df, key_col, text_col, num_hashes, shingle_k)
+    bands = minhash_bands(sig, key_col, num_hashes, n_bands).localCheckpoint(
+        eager=False
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (

@@ -40,6 +40,23 @@ def test_minhash_identical_docs_share_all_bands(spark, docs):
     assert (4, 5) not in got
 
 
+def test_keyed_signature_matches_rowwise(spark, docs):
+    """The codegen'd explode+min-agg signature (r6) must be value-identical
+    to the per-row aggregate(zip_with) fold — min over the window multiset
+    equals min over the distinct shingle set."""
+    rowwise = {
+        r["id"]: list(r["minhash"])
+        for r in D.minhash_signature(docs, "text", 16, 3)
+        .select("id", "minhash")
+        .collect()
+    }
+    keyed = {
+        r["id"]: list(r["minhash"])
+        for r in D._minhash_signature_keyed(docs, "id", "text", 16, 3).collect()
+    }
+    assert rowwise == keyed
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = D.ngram_jaccard_pairs(
         docs, "id", "text", threshold=0.3, shingle_k=3

@@ -65,12 +65,18 @@ def test_entry_queries_never_batch_eval_python(spark):
 
 def test_agreement_score_is_codegen(spark):
     """The agreement score path (P5-P7) must live inside WholeStageCodegen —
-    no UDF, no python."""
-    df = E.queries()["agreement_score"](spark, SF)
-    plan = _plan(df)
-    # '*(n)' prefixes mark WholeStageCodegen stages in the compact format
-    assert "*(1)" in plan or "WholeStageCodegen" in plan
-    assert "EvalPython" not in plan
+    no UDF, no python. AQE hides the '*(n)' codegen markers behind
+    AdaptiveSparkPlan until execution (the r6 _read repartition made this
+    plan adaptive), so disable it while formatting this one plan."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = E.queries()["agreement_score"](spark, SF)
+        plan = _plan(df)
+        # '*(n)' prefixes mark WholeStageCodegen stages in the compact format
+        assert "*(1)" in plan or "WholeStageCodegen" in plan
+        assert "EvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_r3_corpus_query_scans_prune(spark):
@@ -133,9 +139,14 @@ def test_duplicate_spans_plan_shape(spark):
 
 
 def test_hygiene_report_single_scan_one_shuffle(spark):
-    """The hygiene sweep must be ONE scan + ONE exchange (map-side-combined
-    aggregate) — every signal rides the same pass over the corpus."""
+    """The hygiene sweep must be ONE scan + ONE aggregation exchange
+    (map-side-combined) — every signal rides the same pass over the
+    corpus. The r6 scan-parallelize repartition in _read (single-row-group
+    local files otherwise scan on one core) is a RoundRobin exchange and
+    is discounted: it is absent on a many-file production corpus."""
     df = E.queries()["hygiene_report"](spark, SF)
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1, plan
-    assert plan.count("Exchange") == 1, plan
+    assert (
+        plan.count("Exchange") - plan.count("RoundRobinPartitioning") == 1
+    ), plan
