@@ -202,6 +202,54 @@ def _inline(pat: re.Pattern) -> str:
 # replacement engine (replacement stays sequential per the frozen semantics)
 ANY_RULE = re.compile("|".join(f"(?:{_inline(p)})" for _, p, _ in SCRUB_RULES))
 
+# RE2 SUPERSET prefilter (r6): the mask only has to be a superset of
+# "some rule matches" — a false-positive row runs the sequential chain,
+# no rule matches, and the chain is the identity, so the output (and the
+# untouched-row sha256 invariant) is byte-identical. That freedom lets
+# the mask run through pyarrow's RE2 (DFA, no backtracking) instead of
+# Python re's NFA walk of the full alternation, which was the pipeline's
+# single largest cost (~23 s of the 24 s sf1.0 bench pipeline). RE2 has
+# no lookarounds, so every rule contributes its guard-free core — each
+# line below is provably ⊇ its python-re rule (guards only restrict):
+_ANY_RULE_RE2 = "|".join(
+    [
+        r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~.-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        r"AKIA[0-9A-Z]{16}",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+        r"eyJ[A-Za-z0-9_-]+\.eyJ",          # jwt core, lookbehind dropped
+        r"[0-9a-f]{40}",                     # hex_secret, \b + {,} dropped
+        r"\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}",  # card grouped 16
+        r"\d{4}[ -]\d{6}[ -]\d{5}",           # card grouped 15 (Amex)
+        r"4\d{12}",                           # Visa prefix (13 covers 16)
+        r"5[1-5]\d{14}",
+        r"3[47]\d{13}",
+        r"6(?:011|5\d{2})\d{12}",
+        r"\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}",   # phone core, guards dropped
+        r"\d{1,3}(?:\.\d{1,3}){3}",           # ip quad superset
+        r"[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4}){2,7}",  # ipv6 core
+        r"(?i:dammit|crappy|jackass)",
+    ]
+)
+
+
+def _any_rule_mask(texts: pd.Series) -> "pd.Series":
+    """Boolean candidate mask via RE2 when pyarrow is available, falling
+    back to the exact python-re alternation. The RE2 mask is a superset —
+    chain identity on false positives keeps byte equality (gated in
+    tests/test_properties.py::test_re2_prefilter_superset)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            return texts.str.contains(ANY_RULE, regex=True)
+    arr = pa.Array.from_pandas(texts)
+    return pd.Series(
+        pc.match_substring_regex(arr, _ANY_RULE_RE2).to_pandas().fillna(False),
+        index=texts.index,
+    )
+
 
 def scrub_series(content: pd.Series) -> pd.Series:
     """Apply the full rule chain to a pandas Series of strings (C-loop via
@@ -209,11 +257,7 @@ def scrub_series(content: pd.Series) -> pd.Series:
     the oracle). One combined search pass; the 4-pass sequential chain runs
     only on rows with a hit."""
     out = content.astype("string").fillna("")
-    with warnings.catch_warnings():
-        # pandas warns that the pattern has match groups (toxicity's
-        # alternation); we want a boolean mask, not the groups
-        warnings.simplefilter("ignore", UserWarning)
-        mask = out.str.contains(ANY_RULE, regex=True)
+    mask = _any_rule_mask(out)
     if mask.any():
         hit = out[mask]
         for _name, pat, repl in SCRUB_RULES:
@@ -248,9 +292,7 @@ def pii_rule_counts(content: pd.Series) -> pd.DataFrame:
     per rule name. Used by the PII-incidence report; the same function is
     the oracle core (single-engine discipline)."""
     texts = content.astype("string").fillna("")
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", UserWarning)
-        mask = texts.str.contains(ANY_RULE, regex=True)
+    mask = _any_rule_mask(texts)
     import numpy as np
 
     counts = {

@@ -70,6 +70,24 @@ def test_scrub_prefilter_equals_sequential(texts):
     assert (scrub_series(s) == scrub_series_sequential(s)).all()
 
 
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.one_of(text_st, _scrubby_st), max_size=16))
+def test_re2_prefilter_superset(texts):
+    """The RE2 candidate mask must be a SUPERSET of the exact python-re
+    alternation on adversarial inputs — the identity-chain argument only
+    covers rows the mask lets through."""
+    import warnings
+
+    from data_quality_spark.functions.scrub import ANY_RULE, _any_rule_mask
+
+    s = pd.Series(texts, dtype=object).astype("string").fillna("")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        exact = s.str.contains(ANY_RULE, regex=True)
+    fast = _any_rule_mask(s)
+    assert bool((fast | ~exact).all()), s[exact & ~fast].tolist()
+
+
 def test_scrub_hex_secret_unbounded():
     """v2: hex runs of 65+ chars (SHA-512-style tokens) are scrubbed — the
     v1 {40,64} bound could not match inside a longer run."""
