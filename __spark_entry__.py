@@ -2434,32 +2434,109 @@ def q_doc_repetition(spark, sf_dir):
     aggregates, max_by(struct) argmax, no corpus window). The words array
     and both gram arrays are materialized as columns first (no-CSE
     rule)."""
-    from data_quality_spark.functions import heuristics as H
-    from data_quality_spark.functions.text import gopher_gram_fractions
+    from data_quality_spark.operators.dedup import (
+        _window_hash_array,
+        word_hash_array,
+    )
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    # HASHED grams for the distinct-ratio branch (r5 probe finding: string
-    # k-gram arrays allocate ~2×n_words small strings per row and
-    # anti-scale with task parallelism — GC churn; the rolling word-hash
-    # windows are long arrays, same distinct counts, and the oracle
-    # replays the identical hashing so even a collision is shared)
-    rep = (
-        d.withColumn("_wh", DD.word_hash_array("text"))
-        .withColumn("_g2", DD._window_hash_array(F.col("_wh"), 2))
-        .withColumn("_g3", DD._window_hash_array(F.col("_wh"), 3))
+    # HASHED grams throughout (r5 probe finding: string k-gram arrays
+    # allocate ~2×n_words small strings per row and anti-scale with task
+    # parallelism — GC churn; the rolling word-hash windows are long
+    # arrays, same distinct counts, and the oracle replays the identical
+    # hashing so even a collision is shared). r6: the rep ratios ride the
+    # SAME exploded (doc, k, gh) aggregate as the char fractions — the
+    # 2-gram rows serve both rep2 and top2_frac, so the query is one
+    # scan + one explode + two aggregates instead of two branches joined
+    # (distinct/total == count rows / Σc of the counted frame).
+    base = d.select(
+        "doc_id",
+        F.greatest(F.length("text"), F.lit(1)).alias("_tc"),
+        F.split("text", " ").alias("_ws"),
+        word_hash_array("text").alias("_wh"),
+    ).withColumn("_wl", F.transform("_ws", F.length))
+
+    def spans(k):
+        n = F.size(F.col("_wl"))
+        idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+        lens = F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(F.col("_wl"), i, k),
+                F.lit(0),
+                lambda acc, x: acc + x + 1,
+            )
+            - 1,
+        )
+        return F.zip_with(
+            _window_hash_array(F.col("_wh"), k),
+            lens,
+            lambda h, ln: F.struct(h.alias("gh"), ln.alias("glen")),
+        )
+
+    def hashes_only(k):
+        # rep3 needs only the distinct/total counts — no span lengths
+        return F.transform(
+            _window_hash_array(F.col("_wh"), k),
+            lambda h: F.struct(h.alias("gh"), F.lit(0).alias("glen")),
+        )
+
+    tag = lambda arr, k: F.transform(  # noqa: E731
+        arr,
+        lambda s: F.struct(
+            F.lit(k).alias("k"), s["gh"].alias("gh"), s["glen"].alias("glen")
+        ),
+    )
+    tagged = base.select(
+        "doc_id",
+        "_tc",
+        F.concat(
+            tag(spans(2), 0), tag(spans(5), 1), tag(hashes_only(3), 2)
+        ).alias("_tagged"),
+    )
+    ct = (
+        tagged.select("doc_id", "_tc", F.explode_outer("_tagged").alias("t"))
         .select(
-            "doc_id",
-            F.round(H.repetition_ratio(F.col("_g2")), 6).alias("rep2"),
-            F.round(H.repetition_ratio(F.col("_g3")), 6).alias("rep3"),
+            "doc_id", "_tc", F.col("t.k").alias("k"),
+            F.col("t.gh").alias("gh"), F.col("t.glen").alias("glen"),
+        )
+        .groupBy("doc_id", "k", "gh")
+        .agg(
+            F.count("*").alias("c"),
+            F.max("glen").alias("glen"),
+            F.max("_tc").alias("_tc"),
         )
     )
-    frac = gopher_gram_fractions(d, "doc_id", "text", top_n=2, dup_n=5)
-    return rep.join(frac, "doc_id").select(
-        "doc_id",
-        "rep2",
-        "rep3",
-        F.col("top_frac").alias("top2_frac"),
-        F.col("dup_frac").alias("dup5_frac"),
+    return ct.groupBy("doc_id").agg(
+        F.round(
+            F.lit(1.0)
+            - F.expr("count(*) FILTER (WHERE k = 0)").cast("double")
+            / F.expr("sum(c) FILTER (WHERE k = 0)").cast("double"),
+            6,
+        ).alias("rep2"),
+        F.round(
+            F.lit(1.0)
+            - F.expr("count(*) FILTER (WHERE k = 2)").cast("double")
+            / F.expr("sum(c) FILTER (WHERE k = 2)").cast("double"),
+            6,
+        ).alias("rep3"),
+        F.round(
+            F.expr(
+                "max_by(c * glen, struct(c, glen, gh)) FILTER (WHERE k = 0)"
+            ).cast("double")
+            / F.max("_tc").cast("double"),
+            6,
+        ).alias("top2_frac"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("k") == 1) & (F.col("c") > 1),
+                    F.col("c") * F.col("glen"),
+                ).otherwise(0)
+            ).cast("double")
+            / F.max("_tc").cast("double"),
+            6,
+        ).alias("dup5_frac"),
     )
 
 
@@ -4152,7 +4229,14 @@ def q_media_dedup(spark, sf_dir):
     df = synthetic_image_dup_df(spark, n_base=MEDIA_N_BASE, seed=MEDIA_SEED)
     # ONE Arrow decode pass, reused by the LSH and brute sides
     ph = media_phash(df).localCheckpoint(eager=False)
-    lsh = media_near_pairs(ph).localCheckpoint(eager=False)
+    # hot_band_threshold BELOW the planted-triple bucket size, so the
+    # two-band escalation path is driver-exercised (the semdedup
+    # tight-cap discipline). Equality with brute still holds: every true
+    # pair in this corpus has hamming ≤ 6 ≤ N_BANDS-2, where escalated
+    # recall is exact by pigeonhole.
+    lsh = media_near_pairs(ph, hot_band_threshold=2).localCheckpoint(
+        eager=False
+    )
     sym = (
         lsh.withColumnRenamed("hamming", "h_lsh")
         .join(

@@ -116,7 +116,11 @@ def _hamming(bands_a, bands_b):
     )
 
 
-def media_near_pairs(phashed: DataFrame, max_hamming: int = N_BANDS - 1) -> DataFrame:
+def media_near_pairs(
+    phashed: DataFrame,
+    max_hamming: int = N_BANDS - 1,
+    hot_band_threshold: int | None = None,
+) -> DataFrame:
     """Near-duplicate image pairs (id_a < id_b, hamming ≤ max_hamming).
 
     Candidates: band-bucket self-join on (band_idx, band_val). For
@@ -124,6 +128,22 @@ def media_near_pairs(phashed: DataFrame, max_hamming: int = N_BANDS - 1) -> Data
     max_hamming bands can contain a differing bit, leaving ≥1 identical
     band that collides the pair. Verification (zip_with XOR bit_count)
     touches candidates only.
+
+    ``hot_band_threshold`` is the UBIQUITOUS-BAND-VALUE GUARD (the
+    group_digest_overlap / minhash hot-key discipline): at web scale,
+    near-flat images (solid backgrounds, spacer pixels, letterboxed
+    frames) make values like 0x00/0xFF enormously hot, and the single-band
+    join re-quadratizes on exactly that most common image class. With a
+    threshold, any (band_idx, band_val) bucket holding more members is
+    ESCALATED TO TWO-BAND BLOCKING: its members become candidates only
+    when they also share a second band. Pigeonhole keeps recall EXACT for
+    hamming ≤ N_BANDS-2 (≥2 identical bands exist, and whichever second
+    identical band it is forms the pair key); at hamming = N_BANDS-1
+    exactly, a pair whose ONLY identical band is hot can be missed — the
+    documented trade, sized by the threshold. Candidate cost in a hot
+    bucket drops from |bucket|²/2 to Σ|second-band group|²/2. Byte-exact
+    copies should be collapsed upstream first (media_exact_dedup), which
+    also keeps identical-hash cliques from re-inflating the hot buckets.
     """
     if max_hamming > N_BANDS - 1:
         raise ValueError(
@@ -133,21 +153,51 @@ def media_near_pairs(phashed: DataFrame, max_hamming: int = N_BANDS - 1) -> Data
     e = phashed.select(
         "doc_id", F.posexplode("phash_bands").alias("band_idx", "band_val")
     )
-    cand = (
-        e.alias("a")
-        .join(
-            e.alias("b"),
-            on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_val") == F.col("b.band_val"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
+
+    def _band_join(left, right, extra_keys=()):
+        return (
+            left.alias("a")
+            .join(
+                right.alias("b"),
+                on=[
+                    F.col("a.band_idx") == F.col("b.band_idx"),
+                    F.col("a.band_val") == F.col("b.band_val"),
+                    *[F.col(f"a.{k}") == F.col(f"b.{k}") for k in extra_keys],
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+
+    if hot_band_threshold is None:
+        cand = _band_join(e, e).distinct()
+    else:
+        sizes = e.groupBy("band_idx", "band_val").agg(
+            F.count("*").alias("_sz")
         )
-        .distinct()
-    )
+        hot = sizes.filter(F.col("_sz") > hot_band_threshold).select(
+            "band_idx", "band_val"
+        )
+        cold = e.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
+        cold_cand = _band_join(cold, cold)
+        # hot-bucket members: candidate iff they ALSO share a second band
+        # (any band — hot or cold — of the same pair of docs)
+        hm = (
+            e.join(F.broadcast(hot), ["band_idx", "band_val"], "left_semi")
+            .withColumnRenamed("band_idx", "hot_idx")
+            .withColumnRenamed("band_val", "hot_val")
+            .join(phashed.select("doc_id", "phash_bands"), "doc_id")
+            .select(
+                "doc_id", "hot_idx", "hot_val",
+                F.posexplode("phash_bands").alias("band_idx", "band_val"),
+            )
+            .filter(F.col("band_idx") != F.col("hot_idx"))
+        )
+        hot_cand = _band_join(hm, hm, extra_keys=("hot_idx", "hot_val"))
+        cand = cold_cand.unionByName(hot_cand).distinct()
     pa = phashed.select(
         F.col("doc_id").alias("id_a"), F.col("phash_bands").alias("bands_a")
     )

@@ -228,6 +228,7 @@ def ivf_index(
     vec_col: str,
     n_clusters: int = 16,
     seed: int = 7,
+    max_iter: int = 20,
 ):
     """IVF coarse quantizer: k-means centroids (pyspark.ml, distributed) +
     cluster assignment per vector. At scale the assignment is persisted with
@@ -240,7 +241,10 @@ def ivf_index(
     vecs = df.select(
         key_col, F.col(vec_col).alias("_arr")
     ).withColumn("_fv", array_to_vector(F.col("_arr")))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="ivf_cluster")
+    km = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter,
+        featuresCol="_fv", predictionCol="ivf_cluster",
+    )
     model = km.fit(vecs)
     assigned = model.transform(vecs).select(
         key_col, F.col("_arr").alias(vec_col), "ivf_cluster"
@@ -276,6 +280,7 @@ def semdedup(
     tau: float = 0.95,
     seed: int = 7,
     max_cluster_size: int | None = None,
+    fit_max_iter: int = 5,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication — k-means
     cluster the embeddings, then within each cluster drop every vector
@@ -292,7 +297,15 @@ def semdedup(
     rule — the dot-product fold must not replay per pair side).
 
     Returns (key, cluster, is_kept int, dominator key or null)."""
-    assigned, _ = ivf_index(df, key_col, vec_col, n_clusters, seed)
+    # fit_max_iter=5 (not the IVF default 20): SemDeDup's clustering only
+    # BOUNDS the pair pass — every postcondition the driver row verifies
+    # is clustering-independent, so extra Lloyd refinement buys nothing
+    # the dominance stage needs while each distributed iteration costs a
+    # full pass over the embeddings. ivf_topk keeps its 20 (its recall
+    # gate depends on centroid quality).
+    assigned, _ = ivf_index(
+        df, key_col, vec_col, n_clusters, seed, max_iter=fit_max_iter
+    )
     return semdedup_from_assigned(
         assigned, key_col, vec_col, tau, max_cluster_size=max_cluster_size
     )
@@ -327,6 +340,16 @@ def _dominance(frame: DataFrame, group_cols: list[str], tau: float) -> DataFrame
     )
 
 
+def _derive_cap(n_rows: int, n_clusters: int) -> int:
+    """Default degenerate-cluster cap: 4× the balanced cluster size.
+    A healthy clustering (every cluster ≈ n/k) never reaches it, so the
+    guarded path degenerates to the plain exact dominance; one collapsed
+    near-dup mass (≥ 4× balanced) trips the salted block rounds."""
+    if n_clusters <= 0:
+        return 1
+    return max(1, -(-4 * n_rows // n_clusters))  # ceil(4n/k)
+
+
 def semdedup_from_assigned(
     assigned: DataFrame,
     key_col: str,
@@ -341,7 +364,11 @@ def semdedup_from_assigned(
     separately; in production the assignment IS the persisted IVF
     layout, so this is also the steady-state entry point).
 
-    ``max_cluster_size`` is the DEGENERATE-CLUSTER GUARD: the pair join's
+    ``max_cluster_size`` is the DEGENERATE-CLUSTER GUARD; when the caller
+    passes none it is DERIVED from the observed corpus as 4× the balanced
+    cluster size (``_derive_cap`` — one bounded two-value agg), so
+    production always runs guarded without per-corpus tuning. The pair
+    pass's
     Σ|cluster|² cost is n²/k only while k-means stays balanced — one dense
     near-dup mass collapses into one cluster and re-quadratizes the join
     (the exact failure clustering exists to prevent). With a cap, every
@@ -372,60 +399,70 @@ def semdedup_from_assigned(
         F.col(vec_col).alias("v"),
     ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
     if max_cluster_size is None:
-        dom = _dominance(base, ["c"], tau)
-    else:
-        base = base.localCheckpoint(eager=False)  # reused across rounds
-        surv = base
-        doms: list[DataFrame] = []
-        prev_pop: int | None = None
-        for r in range(block_rounds):
-            sizes = surv.groupBy("c").agg(F.count("*").alias("_sz"))
-            # bounded collect: one row per cluster (k is small by design)
-            over_rows = sizes.filter(
-                F.col("_sz") > max_cluster_size
-            ).collect()
-            over = [row["c"] for row in over_rows]
-            if not over:
-                break
-            # Drop-rate early exit: block rounds only pay off when the
-            # oversized clusters are DENSE in near-dups (the degenerate
-            # mass shrinks ~size/cap in one round). A mildly-oversized
-            # but sparse cluster never shrinks, every further round is
-            # pure overhead, and the final exact pass pays its inherent
-            # quadratic regardless — so when a round shrinks the
-            # oversized population by <10%, stop blocking and go
-            # straight to the final pass. (Measured: healthy sf0.1
-            # driver clusters, 250 vecs vs cap 200, 4 drops total —
-            # 3 rounds 15.9 s vs 1 round + final ~8 s, same output.)
-            pop = sum(row["_sz"] for row in over_rows)
-            if prev_pop is not None and pop > 0.9 * prev_pop:
-                break
-            prev_pop = pop
-            blocked = (
-                surv.filter(F.col("c").isin(over))
-                .join(F.broadcast(sizes), "c")
-                .withColumn(
-                    "_B",
-                    F.ceil(F.col("_sz") / F.lit(max_cluster_size)).cast("int"),
-                )
-                .withColumn(
-                    "_blk",
-                    F.pmod(F.xxhash64(F.col("k"), F.lit(r)), F.col("_B")),
-                )
+        # Self-applying guard (r6): derive the cap from the observed n/k
+        # instead of running unguarded — production gets the
+        # degenerate-cluster protection without the caller having to know
+        # the corpus. 4× the balanced size: a healthy k-means never
+        # blocks (cluster ≈ n/k < cap ⇒ the loop exits on round 0 and
+        # the final pass IS the plain dominance), while a collapsed
+        # near-dup mass (≥ 4× balanced) blocks in round 1. One bounded
+        # two-value agg pays for it.
+        n_rows, n_clusters = base.agg(
+            F.count("*"), F.count_distinct("c")
+        ).first()
+        max_cluster_size = _derive_cap(n_rows, n_clusters)
+    base = base.localCheckpoint(eager=False)  # reused across rounds
+    surv = base
+    doms: list[DataFrame] = []
+    prev_pop: int | None = None
+    for r in range(block_rounds):
+        sizes = surv.groupBy("c").agg(F.count("*").alias("_sz"))
+        # bounded collect: one row per cluster (k is small by design)
+        over_rows = sizes.filter(
+            F.col("_sz") > max_cluster_size
+        ).collect()
+        over = [row["c"] for row in over_rows]
+        if not over:
+            break
+        # Drop-rate early exit: block rounds only pay off when the
+        # oversized clusters are DENSE in near-dups (the degenerate
+        # mass shrinks ~size/cap in one round). A mildly-oversized
+        # but sparse cluster never shrinks, every further round is
+        # pure overhead, and the final exact pass pays its inherent
+        # quadratic regardless — so when a round shrinks the
+        # oversized population by <10%, stop blocking and go
+        # straight to the final pass. (Measured: healthy sf0.1
+        # driver clusters, 250 vecs vs cap 200, 4 drops total —
+        # 3 rounds 15.9 s vs 1 round + final ~8 s, same output.)
+        pop = sum(row["_sz"] for row in over_rows)
+        if prev_pop is not None and pop > 0.9 * prev_pop:
+            break
+        prev_pop = pop
+        blocked = (
+            surv.filter(F.col("c").isin(over))
+            .join(F.broadcast(sizes), "c")
+            .withColumn(
+                "_B",
+                F.ceil(F.col("_sz") / F.lit(max_cluster_size)).cast("int"),
             )
-            dom_r = _dominance(
-                blocked.select("c", "_blk", "k", "v", "n"), ["c", "_blk"], tau
-            ).localCheckpoint(eager=False)
-            doms.append(dom_r)
-            surv = surv.join(
-                dom_r.select(F.col("kb").alias("k")), "k", "left_anti"
-            ).localCheckpoint(eager=False)
-        # final exact pass restores pairwise-<τ among the survivors
-        doms.append(_dominance(surv, ["c"], tau))
-        dom = doms[0]
-        for d in doms[1:]:
-            dom = dom.unionByName(d)
-        dom = dom.groupBy("kb").agg(F.min("dominator").alias("dominator"))
+            .withColumn(
+                "_blk",
+                F.pmod(F.xxhash64(F.col("k"), F.lit(r)), F.col("_B")),
+            )
+        )
+        dom_r = _dominance(
+            blocked.select("c", "_blk", "k", "v", "n"), ["c", "_blk"], tau
+        ).localCheckpoint(eager=False)
+        doms.append(dom_r)
+        surv = surv.join(
+            dom_r.select(F.col("kb").alias("k")), "k", "left_anti"
+        ).localCheckpoint(eager=False)
+    # final exact pass restores pairwise-<τ among the survivors
+    doms.append(_dominance(surv, ["c"], tau))
+    dom = doms[0]
+    for d in doms[1:]:
+        dom = dom.unionByName(d)
+    dom = dom.groupBy("kb").agg(F.min("dominator").alias("dominator"))
     return base.join(dom, base.k == dom.kb, "left").select(
         F.col("k").alias(key_col),
         F.col("c").alias("cluster"),

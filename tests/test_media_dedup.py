@@ -115,3 +115,63 @@ def test_exact_dedup_plan_never_shuffles_media_bytes(media_df):
     assert "Exchange" in plan
     post_exchange = plan.split("Exchange", 1)[0]
     assert "media#" not in post_exchange  # agg side sees digest+key only
+
+
+def test_hot_band_guard_flat_image_skew(spark):
+    """r6 ubiquitous-band-value guard (the tests/test_dedup.py hot-band
+    analogue): a corpus dominated by near-flat images makes (band_idx,
+    0x00/0xFF) buckets quadratic in the single-band join. With
+    hot_band_threshold the hot buckets escalate to two-band blocking;
+    recall stays EXACT for hamming <= N_BANDS-2 (>=2 identical bands
+    exist), verified against the brute scan, while distinct cold +
+    escalated candidate keys shrink the single hot bucket's pair space."""
+    from data_quality_spark.multimodal.binary import MEDIA_SCHEMA, encode_png
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # 40 flat images (byte-DISTINCT gray levels, zero contrast): every
+    # dHash bit is 0 -> all bands 0x00 -> ONE maximally hot bucket per
+    # band index, and the whole mass is a true hamming-0 clique — the
+    # web-scale solid-background/spacer-pixel class
+    for i in range(40):
+        px = np.full((32, 36), 100 + i, dtype=np.uint8)
+        rows.append(
+            (i, "image", encode_png(px, color_type=0),
+             {"mime": "image/png", "width": 36, "height": 32,
+              "duration_ms": None})
+        )
+    # 6 structured images (distinct block grids, no near-dups planted)
+    for j in range(6):
+        levels = np.stack(
+            [rng.permutation(15)[:9] * 16 for _ in range(8)]
+        ).astype(np.uint8)
+        px = np.kron(levels, np.ones((4, 4), dtype=np.uint8))
+        rows.append(
+            (100 + j, "image", encode_png(px, color_type=0),
+             {"mime": "image/png", "width": 36, "height": 32,
+              "duration_ms": None})
+        )
+    df = (
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+        .coalesce(4)
+        .localCheckpoint(eager=False)
+    )
+    ph = media_phash(df).localCheckpoint(eager=False)
+
+    # guarded LSH == brute at hamming <= N_BANDS-2 (exact-recall regime)
+    guarded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_near_pairs(
+            ph, max_hamming=N_BANDS - 2, hot_band_threshold=8
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_near_pairs_brute(ph, max_hamming=N_BANDS - 2).collect()
+    }
+    assert guarded == brute
+    # the flat mass IS a true near-dup clique (hamming 0) — guard must
+    # not lose it
+    assert sum(1 for (a, b) in guarded if a < 40 and b < 40) == 40 * 39 // 2
+    # and the structured singletons stay unpaired
+    assert not any(a >= 100 or b >= 100 for (a, b) in guarded)

@@ -143,3 +143,37 @@ def test_semdedup_guard_noop_on_balanced_clusters(spark):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, guarded.collect()))
     assert a == b
+
+
+def test_derive_cap_default():
+    """r6 self-applying guard: cap = ceil(4n/k) — balanced clusters
+    (≈ n/k) sit far under it; a collapsed mass (≥ 4× balanced) trips it."""
+    from data_quality_spark.operators.similarity import _derive_cap
+
+    assert _derive_cap(20000, 8) == 10000
+    assert _derive_cap(6, 3) == 8
+    assert _derive_cap(0, 3) == 1
+    assert _derive_cap(5, 0) == 1
+    # balanced never blocks: every cluster ~n/k < 4n/k
+    assert 20000 // 8 < _derive_cap(20000, 8)
+
+
+def test_semdedup_default_cap_guards_degenerate_mass(spark):
+    """Default-cap path (no explicit max_cluster_size) on the pathological
+    single-mass corpus: the derived cap must trip (mass ≈ n ≫ 4n/k for a
+    multi-cluster fit), and the output must still satisfy every SemDeDup
+    invariant — drops happen, dominators are valid lower-keyed mates."""
+    n, tau = 300, 0.99
+    rows = [(i, [1.0, 1e-6 * (i % 7), 1e-6 * (i % 11)]) for i in range(n)]
+    df = _vecs(spark, rows)
+    out = semdedup(df, "vec_id", "v", n_clusters=4, tau=tau, seed=7).collect()
+    assert len(out) == n
+    kept = [r for r in out if r["is_kept"] == 1]
+    clusters = {r["cluster"] for r in out}
+    assert 1 <= len(kept) <= len(clusters)  # mass pairwise >= tau
+    by_id = {r["vec_id"]: r for r in out}
+    for r in out:
+        if r["is_kept"] == 0:
+            d = by_id[r["dominator"]]
+            assert r["dominator"] < r["vec_id"]
+            assert d["cluster"] == r["cluster"]
