@@ -4981,65 +4981,100 @@ SQL_SECRET_SCAN = """
 # Queries whose IMPLEMENTING CODE changed this round after their last
 # driver-checked round — the guard test forces every one of these into the
 # current 50-entry driver window so no query ever ships on a stale driver
-# row. Rebuild this list each round (start from empty, append on edit).
+# row. Rebuilt each round (start from empty, append on edit). NOTE: the r6
+# scan-parallelize repartition and reader memo in _read() touch every
+# query uniformly; they are plan-only infrastructure verified by the local
+# all-94 DuckDB gate each run — the window carries the queries with
+# OPERATOR-level r6 changes.
 CHANGED_THIS_ROUND = [
-    # code changed in r4 AFTER their r3 driver check (VERDICT r4 "Next #1")
-    "scrub_documents",      # scrub-v3 → v5 (+ v6 this round)
-    "resume_pending",       # plans/checkpoint.py run_id-tiebreak hunk
-    "dedup_containment",    # shared shingle-helper refactor (dedup.py:173-205)
-    "dedup_apply",          # same refactor
-    # code changed in r5 after their r4 driver check
-    "source_quality",       # no-CSE fix: quality score materialized once
-    "ppl_terciles",         # localCheckpoint on lm + scored
-    "semdedup",             # planted-pair clustering-independent has_drops
-    "pii_report",           # scrub-v6 rule additions
-    "sessionized_counts",   # (ts, event_id) cumsum-order oracle fix (late r4)
-    "heavy_hitters",        # strict-> freqItems contract fix (late r4)
-    "media_dedup",          # NEW in r5: multimodal dedup driver query
-    "bpe_merges",           # r5 engine default: Arrow dictionary replay
-    "bpe_encode",           # same
-    "unigram_fit",          # NEW in r5: unigram-LM tokenizer fit
-    "unigram_encode",       # NEW in r5: unigram-LM tokenizer apply
-    "license_report",       # NEW in r5: license detection
-    "license_gate",         # NEW in r5: permissive-license repo gate
-    "dedup_normalized",     # NEW in r5: comment/ws-insensitive dedup
-    "tokenizer_compare",    # NEW in r5: BPE-vs-unigram fertility report
-    "secret_scan",          # NEW in r5: entropy-gated secret detection
-    "doc_repetition",       # r5: + Gopher top2/dup5 char-fraction columns
-    "code_markers",         # r5: + StarCoder comment-char-fraction column
-    "despan_apply",         # NEW in r5: Lee-et-al. substring-dedup apply
-    "corpus_build",         # r5: composition extracted (build_corpus_summary)
-    "hygiene_report",       # r5: + control-char/U+FFFD encoding-damage count
+    "embed_cosine_dup",     # r6: numpy tiled pair kernel (was join+fold)
+    "semdedup",             # r6: kernel dominance + 5-iter fit + kept_viol kernel
+    "dedup_minhash",        # r6: keyed codegen signature + band checkpoint
+    "dedup_clusters",       # same minhash_candidates path
+    "dedup_apply",          # same
+    "dedup_incremental",    # r6: keyed signature in index build + probe
+    "decontaminate_fuzzy",  # r6: keyed signature bands
+    "scrub_documents",      # r6: RE2 superset prefilter mask
+    "pii_report",           # r6: same mask in pii_rule_counts
+    "pipeline_keep_drop",   # scrub path beneath it (r5 VERDICT #4 rotation)
+    "doc_repetition",       # r6: fused single-explode rewrite
+    "media_dedup",          # r6: hot-band two-band-escalation guard
+    "estimator_quality",    # r6: max_iter=12 fit
 ]
 
-# The 50-entry driver window is FULL this round (35 r3-tail rotations +
-# the changed/new queries above leave no slack), so each NEW r5 query
-# required evicting exactly one window seat (semi_join's seat went to the
-# corpus_build refactor re-check). tpch_q1, decode_join and semi_join are
-# the safe choices: their implementing code is untouched since round 1
-# (git -L verified), their r3 driver rows are full-green
-# (rows+schema+hash), and all are re-verified every round by the local
-# all-queries DuckDB gate (tests/test_entry.py). The guard test checks
-# both conditions mechanically for every exempted name.
-R3_GREEN_UNCHANGED_EXEMPT = ["tpch_q1", "decode_join", "semi_join"]
+# Empty this round: the 50-entry window holds every query whose latest
+# driver row is r4, including the three seats (tpch_q1/decode_join/
+# semi_join) that stood on exempted r3 rows in r4/r5.
+R3_GREEN_UNCHANGED_EXEMPT: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS artifact records the FIRST
-    # 50 dict entries only. Round-5 window = the 35 queries whose latest
-    # driver row is r3 (leading with the four whose code changed in r4 after
-    # that check), then every query whose code changed this round, then new
-    # r5 queries, then r4-green fill. Union of r4+r5 artifacts covers all
-    # entries with no stale-code rows.
+    # 50 dict entries only. Round-6 window = the 13 queries whose
+    # implementing code changed this round (lead), then ALL 37 queries
+    # whose latest driver row is r4 — including the three former
+    # r3-exemption seats (tpch_q1/decode_join/semi_join), which fit this
+    # round, emptying the exemption list. Union of r5+r6 artifacts covers
+    # every entry with no stale-code rows.
     return {
-        # -- code changed after last driver check (lead) --
+        # -- r6 driver window (first 50): code changed this round, lead --
+        "embed_cosine_dup": q_embed_cosine_dup,
+        "semdedup": q_semdedup,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_apply": q_dedup_apply,
+        "dedup_incremental": q_dedup_incremental,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "scrub_documents": q_scrub_documents,
+        "pii_report": q_pii_report,
+        "pipeline_keep_drop": q_pipeline_keep_drop,
+        "doc_repetition": q_doc_repetition,
+        "media_dedup": q_media_dedup,
+        "estimator_quality": q_estimator_quality,
+        # -- r4-evidence tail: every query whose latest driver row is r4
+        #    (includes the three former r3 exemptions — the window has
+        #    room this round, so the exemption list is now EMPTY) --
+        "pipeline_metrics": q_pipeline_metrics,
+        "line_dedup_global": q_line_dedup_global,
+        "dedup_exact": q_dedup_exact,
+        "duplicate_spans": q_duplicate_spans,
+        "tpch_q1": q_tpch_q1,
+        "decode_join": q_decode_join,
+        "semi_join": q_semi_join,
+        "decontaminate": q_decontaminate,
+        "boilerplate_lines": q_boilerplate_lines,
+        "transpose_metrics": q_transpose_metrics,
+        "threshold_sweep": q_threshold_sweep,
+        "asof_join": q_asof_join,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "quantiles": q_quantiles,
+        "quantiles_approx": q_quantiles_approx,
+        "pivot_event_types": q_pivot_event_types,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "symbolic_sequences": q_symbolic_sequences,
+        "duplicate_span_extents": q_duplicate_span_extents,
+        "quality_auc": q_quality_auc,
+        "split_leakage": q_split_leakage,
+        "source_forks": q_source_forks,
+        "dsir_weights": q_dsir_weights,
+        "fork_apply": q_fork_apply,
+        "ngram_diversity": q_ngram_diversity,
+        "snapshot_diff": q_snapshot_diff,
+        "agreement_score": q_agreement_score,
+        "agreement_buckets": q_agreement_buckets,
+        "quality_binarize": q_quality_binarize,
+        "doc_heuristics": q_doc_heuristics,
+        "doc_langid": q_doc_langid,
+        "doc_tokens": q_doc_tokens,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_entropy": q_doc_entropy,
+        "doc_quality": q_doc_quality,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        # -- r5-green, code untouched in r6 (covered by CORRECTNESS_r05) --
         "resume_pending": q_resume_pending,
         "dedup_containment": q_dedup_containment,
-        "dedup_apply": q_dedup_apply,
-        # -- r3-evidence tail (31) --
         "code_markers": q_code_markers,
-        "doc_repetition": q_doc_repetition,
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_topk_batch": q_embed_topk_batch,
@@ -5066,15 +5101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_mad": q_outliers_mad,
         "vocab_topk": q_vocab_topk,
         "set_ops": q_set_ops,
-        # -- r4-green but code changed in r5 --
         "source_quality": q_source_quality,
         "ppl_terciles": q_ppl_terciles,
-        "semdedup": q_semdedup,
-        "pii_report": q_pii_report,
         "sessionized_counts": q_sessionized_counts,
         "heavy_hitters": q_heavy_hitters,
-        # -- new in round 5 (inserted here as built) --
-        "media_dedup": q_media_dedup,
         "unigram_fit": q_unigram_fit,
         "unigram_encode": q_unigram_encode,
         "license_report": q_license_report,
@@ -5083,65 +5113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_compare": q_tokenizer_compare,
         "secret_scan": q_secret_scan,
         "despan_apply": q_despan_apply,
-        # -- r4-green but engine default changed in r5 (arrow replay) --
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
-        # -- r4-green but refactored in r5 (composition extracted for the
-        # -- capstone scaling probe) --
         "corpus_build": q_corpus_build,
-        # -- r4-green fill (re-confirmation bonus) --
-        "pipeline_keep_drop": q_pipeline_keep_drop,
-        "pipeline_metrics": q_pipeline_metrics,
-        "dedup_incremental": q_dedup_incremental,
-        "line_dedup_global": q_line_dedup_global,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_clusters": q_dedup_clusters,
-        "duplicate_spans": q_duplicate_spans,
-        # ---- ~window boundary (first 50): entries below stand on green
-        # ---- r4 rows (the last few fill entries above may also fall
-        # ---- outside the first 50 — they are r4-green re-confirmation
-        # ---- bonus, so overflow is safe; the guard test checks the
-        # ---- placement invariant mechanically) ----
-        # r3-green, code unchanged since round 1 — evicted from the full
-        # window to seat secret_scan / despan_apply (see
-        # R3_GREEN_UNCHANGED_EXEMPT)
-        "tpch_q1": q_tpch_q1,
-        "decode_join": q_decode_join,
-        "semi_join": q_semi_join,
-        "estimator_quality": q_estimator_quality,
-        "decontaminate": q_decontaminate,
-        "boilerplate_lines": q_boilerplate_lines,
-        "transpose_metrics": q_transpose_metrics,
-        "threshold_sweep": q_threshold_sweep,
-        "embed_cosine_dup": q_embed_cosine_dup,
-        "asof_join": q_asof_join,
-        "rollup_hierarchy": q_rollup_hierarchy,
-        "quantiles": q_quantiles,
-        "quantiles_approx": q_quantiles_approx,
-        "pivot_event_types": q_pivot_event_types,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "symbolic_sequences": q_symbolic_sequences,
-        "duplicate_span_extents": q_duplicate_span_extents,
-        "quality_auc": q_quality_auc,
-        "split_leakage": q_split_leakage,
-        "source_forks": q_source_forks,
-        "dsir_weights": q_dsir_weights,
-        "fork_apply": q_fork_apply,
-        "ngram_diversity": q_ngram_diversity,
-        "snapshot_diff": q_snapshot_diff,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "agreement_score": q_agreement_score,
-        "agreement_buckets": q_agreement_buckets,
-        "quality_binarize": q_quality_binarize,
-        "doc_heuristics": q_doc_heuristics,
-        "doc_langid": q_doc_langid,
-        "doc_tokens": q_doc_tokens,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_entropy": q_doc_entropy,
-        "doc_quality": q_doc_quality,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
     }
 
 

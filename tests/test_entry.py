@@ -109,37 +109,33 @@ def test_bench_list_matches_queries_exactly():
 
 def test_driver_window_covers_every_unchecked_query():
     """Ordering contract: the driver's CORRECTNESS artifact records only
-    the FIRST 50 queries() entries. Two invariants keep the r4+r5 union
+    the FIRST 50 queries() entries. Two invariants keep the r5+r6 union
     authoritative for the code AS IT NOW STANDS:
-    (a) every query without a green row in the round-4 artifact (evidence
-        stuck at r3 or new this round) sits inside the first 50;
+    (a) every query without a green row in the round-5 artifact (evidence
+        standing on r4) sits inside the first 50 — this round the window
+        holds ALL of them, including the three former r3-exemption seats,
+        so E.R3_GREEN_UNCHANGED_EXEMPT is empty;
     (b) every query listed in E.CHANGED_THIS_ROUND — implementing code
         modified after its last driver check — sits inside the first 50,
-        so no query ever ships on a stale-code driver row.
-    The admitted exemptions from (a) are E.R3_GREEN_UNCHANGED_EXEMPT:
-    a query may stand on its r3 driver row iff that row is full-green AND
-    its implementing code is unchanged since round 1 (tpch_q1/decode_join
-    — evicted to seat secret_scan/despan_apply in the full 50-entry
-    window; both still verified every round by the local all-queries gate
-    below)."""
+        so no query ever ships on a stale-code driver row."""
     import json
     import os
 
-    r4_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r04.json")
-    r4 = set(json.load(open(r4_path)))
+    r5_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
+    r5 = set(json.load(open(r5_path)))
     names = list(E.queries())
     first50 = set(names[:50])
     uncovered = [
         q
         for q in names
-        if q not in r4
+        if q not in r5
         and q not in first50
         and q not in E.R3_GREEN_UNCHANGED_EXEMPT
     ]
     assert uncovered == [], (
         f"queries with no current driver evidence in either window: {uncovered}"
     )
-    # the exemption itself must hold: full-green r3 row, not code-changed
+    # any exemption must stand on a full-green r3 row and unchanged code
     r3 = json.load(
         open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json"))
     )
