@@ -987,6 +987,10 @@ def group_digest_overlap(
         .select("dig"),
         "dig",
     )
+    # lazily materialize before the self-join (no exchange reuse across
+    # the two sides in Spark 4.1 — the distinct+rare-filter pipeline ran
+    # twice); bounded: distinct (group, digest) rows
+    rare = rare.localCheckpoint(eager=False)
     pairs = (
         rare.alias("a")
         .join(rare.alias("b"), "dig")
