@@ -420,8 +420,12 @@ def _prefix_candidates_from(
     # arrays are never empty (short docs fold to one shingle), so outer
     # explode is semantically identical here.
     words = sh.select("k", "sz", *grp, F.explode_outer("sh").alias("w"))
-    dfc = words.groupBy(*grp, "w").agg(F.count("*").alias("df"))
-    ranked = words.join(dfc, [*grp, "w"]).withColumn(
+    # document frequency via ONE window count over the shingle partition —
+    # identical values to the old groupBy+join-back, one fewer shuffle of
+    # the full occurrence stream (r6 A/B: ~30-40% off the candidate stage)
+    ranked = words.withColumn(
+        "df", F.count("*").over(Window.partitionBy(*grp, "w"))
+    ).withColumn(
         "rn", F.row_number().over(Window.partitionBy("k").orderBy("df", "w"))
     )
     # epsilon guard: ceil(t*sz) on doubles can round UP past the true integer
@@ -906,8 +910,10 @@ def ngram_containment_pairs(
         sh = sh.localCheckpoint(eager=True)
     grp = ["g"] if group_col else []
     words = sh.select("k", "sz", *grp, F.explode_outer("sh").alias("w"))
-    dfc = words.groupBy(*grp, "w").agg(F.count("*").alias("df"))
-    ranked = words.join(dfc, [*grp, "w"]).withColumn(
+    # window-count document frequency (see _prefix_candidates_from note)
+    ranked = words.withColumn(
+        "df", F.count("*").over(Window.partitionBy(*grp, "w"))
+    ).withColumn(
         "rn", F.row_number().over(Window.partitionBy("k").orderBy("df", "w"))
     )
     prefix_len = (
