@@ -188,8 +188,13 @@ def tfidf_top_terms(df, key_col: str, text_col: str, top_k: int = 3):
         F.explode_outer(F.split(F.col(text_col), " ")).alias("w"),
     )
     tf = words.groupBy("k", "w").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    scored = tf.join(dfreq, "w").withColumn(
+    # document frequency as ONE window count over the term partition —
+    # identical values to the old groupBy(w)+join-back with one fewer
+    # shuffle of the doc-term frame (same r6 move as the jaccard prefix
+    # candidates)
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("w"))
+    ).withColumn(
         "score",
         F.round(
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
