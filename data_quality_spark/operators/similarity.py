@@ -23,6 +23,15 @@ def _dot(a, b):
     )
 
 
+# DEGENERATE-EMBEDDING CONVENTION (r6, pinned by
+# tests/test_ivf.py::test_zero_vector_convention): an all-zero vector has
+# norm 0, so its cosine is 0/0. In the numpy kernels below that is NaN,
+# and NaN >= tau is False — a zero vector is always KEPT and never pairs
+# or dominates, which matches the DuckDB oracle (0/0 is NULL there and
+# NULL >= tau filters out). The remaining JVM-division paths
+# (brute_force_topk / lsh_topk / lsh_topk_join / ivf_topk) RAISE
+# DIVIDE_BY_ZERO under the session's ANSI mode instead — they reject
+# zero vectors; strip or re-embed them upstream before ANN search.
 # ---------------------------------------------------------------------------
 # Vectorized within-group pair kernels (numpy, Arrow-batched).
 #

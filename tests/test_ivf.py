@@ -76,3 +76,42 @@ def test_lsh_topk_join_batch_matches_brute_force_within_bucket(spark, embeddings
         exact = brute_force_topk(cand, "vec_id", "v", list(qrow["v"]), 5).toPandas()
         got = out[out.query_vec_id == q].sort_values("rank")
         assert list(got.vec_id) == list(exact.vec_id), q
+
+
+def test_zero_vector_convention(spark):
+    """r6 degenerate-embedding convention (similarity.py header): an
+    all-zero vector (norm 0, cosine 0/0) is always KEPT and never pairs
+    in the numpy kernel paths — matching the oracle, where 0/0 is NULL
+    and NULL >= tau filters out — while the JVM-division ANN paths raise
+    DIVIDE_BY_ZERO under ANSI (they reject zero vectors)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.dedup import embedding_cosine_pairs
+    from data_quality_spark.operators.similarity import (
+        brute_force_topk,
+        semdedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),   # near-dup of 1
+        (3, [0.0, 0.0, 0.0]),       # planted zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+
+    # kernel pair pass: zero vector silently unpaired
+    pairs = embedding_cosine_pairs(
+        df.withColumn("g", F.lit(0)), "vec_id", "v", "g", threshold=0.9
+    ).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+
+    # semdedup: zero vector kept, never dominated, never a dominator
+    out = {r["vec_id"]: r for r in
+           semdedup(df, "vec_id", "v", n_clusters=2, tau=0.9, seed=7).collect()}
+    assert out[3]["is_kept"] == 1 and out[3]["dominator"] is None
+    assert out[2]["is_kept"] == 0 and out[2]["dominator"] == 1
+
+    # JVM-division ANN path: ANSI divide-by-zero — zero vectors rejected
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        brute_force_topk(df, "vec_id", "v", [1.0, 0.0, 0.0], k=3).collect()
