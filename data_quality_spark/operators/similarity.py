@@ -238,6 +238,7 @@ def ivf_index(
     n_clusters: int = 16,
     seed: int = 7,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ):
     """IVF coarse quantizer: k-means centroids (pyspark.ml, distributed) +
     cluster assignment per vector. At scale the assignment is persisted with
@@ -251,7 +252,7 @@ def ivf_index(
         key_col, F.col(vec_col).alias("_arr")
     ).withColumn("_fv", array_to_vector(F.col("_arr")))
     km = KMeans(
-        k=n_clusters, seed=seed, maxIter=max_iter,
+        k=n_clusters, seed=seed, maxIter=max_iter, initMode=init_mode,
         featuresCol="_fv", predictionCol="ivf_cluster",
     )
     model = km.fit(vecs)
@@ -306,14 +307,16 @@ def semdedup(
     rule — the dot-product fold must not replay per pair side).
 
     Returns (key, cluster, is_kept int, dominator key or null)."""
-    # fit_max_iter=5 (not the IVF default 20): SemDeDup's clustering only
-    # BOUNDS the pair pass — every postcondition the driver row verifies
-    # is clustering-independent, so extra Lloyd refinement buys nothing
-    # the dominance stage needs while each distributed iteration costs a
-    # full pass over the embeddings. ivf_topk keeps its 20 (its recall
+    # fit_max_iter=5 + random init (not the IVF defaults): SemDeDup's
+    # clustering only BOUNDS the pair pass — every postcondition the
+    # driver row verifies is clustering-independent, so k-means|| init
+    # passes and extra Lloyd refinement buy nothing the dominance stage
+    # needs while each distributed pass costs a full scan of the
+    # embeddings. ivf_topk keeps 20 iterations + k-means|| (its recall
     # gate depends on centroid quality).
     assigned, _ = ivf_index(
-        df, key_col, vec_col, n_clusters, seed, max_iter=fit_max_iter
+        df, key_col, vec_col, n_clusters, seed,
+        max_iter=fit_max_iter, init_mode="random",
     )
     return semdedup_from_assigned(
         assigned, key_col, vec_col, tau, max_cluster_size=max_cluster_size
