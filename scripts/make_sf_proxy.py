@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Synthesize a larger-sf PROXY dataset for local timing only.
+
+The driver generates the real sf tables (TESTDATA.md: read-only, do not
+regenerate); the driver's own larger-sf dir is not retained between
+rounds. For optimization work we still need a dataset at the measured
+scale (BENCH_r05.json: sf=1.0), so this script builds one that matches
+the observed schemas and distributions of the real sf0.1 tables:
+
+- documents / embeddings are generated FRESH from the observed
+  distributions (31-word vocab, 10-100 words/doc, lang/source mix,
+  ~0.16% planted exact dups; label-centered unit vectors) — tiling the
+  real rows 10x would multiply the duplicate/near-duplicate rate and
+  distort every dedup/similarity timing.
+- TPC-H-ish tables and events are tiled Kx with key/timestamp offsets
+  (key cardinality scales, join fan-out per key stays constant —
+  matching how the real generator scales).
+
+Output is for TIMING ONLY — never for oracle comparisons (the driver's
+correctness checks run on the real small sfs).
+
+Usage: python scripts/make_sf_proxy.py --out /root/sfproxy1.0 --k 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+VOCAB = np.array([
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+])
+LANGS = np.array(["en", "zh", "es", "fr", "de"])
+LANG_P = np.array([0.41, 0.15, 0.15, 0.15, 0.14])
+
+
+def write(tbl: pa.Table, out_dir: str, name: str, row_group_docs: int) -> None:
+    pq.write_table(
+        tbl, os.path.join(out_dir, f"{name}.parquet"),
+        row_group_size=row_group_docs, compression="snappy",
+    )
+    print(name, tbl.num_rows, "rows")
+
+
+def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
+    lens = rng.integers(10, 101, size=n)
+    total = int(lens.sum())
+    words = VOCAB[rng.integers(0, len(VOCAB), size=total)]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n)]
+    # planted exact dups at the observed ~0.16% rate
+    n_dup = max(1, n * 8 // 5000)
+    dup_to = rng.integers(0, n, size=n_dup)
+    dup_from = rng.integers(0, n, size=n_dup)
+    for a, b in zip(dup_to, dup_from):
+        if a != b:
+            texts[int(a)] = texts[int(b)]
+    lang = LANGS[rng.choice(len(LANGS), size=n, p=LANG_P)]
+    source = np.array([f"src{i}" for i in rng.integers(0, 20, size=n)])
+    return pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(lang, pa.string()),
+        "source": pa.array(source, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
+    # estimate per-label centers + residual scale from the real table
+    real = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+    E = np.vstack(real["embedding"].values).astype(np.float64)
+    labels = real["label"].values
+    centers = np.stack([E[labels == l].mean(0) for l in range(10)])
+    resid = float(np.mean([E[labels == l].std(0).mean() for l in range(10)]))
+    lab = rng.integers(0, 10, size=n).astype(np.int32)
+    V = centers[lab] + rng.normal(0, resid, size=(n, 64))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V = V.astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(V), pa.list_(pa.float32())),
+        "label": pa.array(lab, pa.int32()),
+    })
+
+
+def tile(name: str, k: int, key_cols: dict[str, int], ts_cols: tuple[str, ...] = ()) -> pa.Table:
+    """K copies with per-copy key offsets; timestamps left as-is (the real
+    generator keeps the same date window at every sf)."""
+    df = pq.read_table(f"{SRC}/{name}.parquet").to_pandas()
+    parts = []
+    for c in range(k):
+        p = df.copy()
+        for col, span in key_cols.items():
+            p[col] = p[col] + c * span
+        parts.append(p)
+    import pandas as pd
+    return pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False)
+
+
+def gen_events(rng: np.random.Generator, k: int) -> pa.Table:
+    """Fresh events: same 30-day window, k*100k rows, k*1500 users —
+    event density scales, session structure per user stays comparable."""
+    n = k * 100_000
+    t0 = np.datetime64("2024-01-01T00:00:00.000000")
+    span_us = 30 * 86400 * 1_000_000
+    ts = np.sort(rng.integers(0, span_us, size=n)) + np.zeros(n, dtype=np.int64)
+    types = np.array(["signup", "purchase", "view", "click", "error"])
+    return pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(t0 + ts.astype("timedelta64[us]")),
+        "user_id": pa.array(rng.integers(0, k * 1500, size=n), pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, 5, size=n)], pa.string()),
+        "value": pa.array(np.round(rng.exponential(50.0, size=n), 2), pa.float64()),
+        "props": pa.array([f'{{"k": {v}}}' for v in rng.integers(0, 100, size=n)], pa.string()),
+    })
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/root/sfproxy1.0")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=1234)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    k = args.k
+
+    write(gen_documents(rng, k * 5000), args.out, "documents", 8192)
+    write(gen_embeddings(rng, k * 2000), args.out, "embeddings", 8192)
+    write(gen_events(rng, k), args.out, "events", 1 << 20)
+    write(tile("lineitem", k, {"l_orderkey": 150_000, "l_partkey": 20_000,
+                               "l_suppkey": 1_000}), args.out, "lineitem", 1 << 20)
+    write(tile("orders", k, {"o_orderkey": 150_000, "o_custkey": 15_000}),
+          args.out, "orders", 1 << 20)
+    write(tile("customer", k, {"c_custkey": 15_000}), args.out, "customer", 1 << 20)
+    write(tile("part", k, {"p_partkey": 20_000}), args.out, "part", 1 << 20)
+    write(tile("supplier", k, {"s_suppkey": 1_000}), args.out, "supplier", 1 << 20)
+    for small in ("nation", "region"):
+        pq.write_table(pq.read_table(f"{SRC}/{small}.parquet"),
+                       os.path.join(args.out, f"{small}.parquet"))
+        print(small, "copied")
+    with open(os.path.join(args.out, "_PROXY.json"), "w") as f:
+        json.dump({"k": k, "seed": args.seed, "src": SRC,
+                   "note": "timing proxy only; not driver data"}, f)
+
+
+if __name__ == "__main__":
+    main()
