@@ -183,10 +183,11 @@ def q_doc_heuristics(spark, sf_dir):
             F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n, 6
         ).alias("dup_word_ratio"),
         F.array_max(F.transform(ws, F.length)).alias("max_word_len"),
+        # closed form: split(' ') partitions the text, so Σ len(word) =
+        # length(text) − (n_words − 1) exactly — same integer the oracle's
+        # list_sum produces, without the interpreted aggregate fold
         F.round(
-            F.aggregate(ws, F.lit(0.0), lambda a, w: a + F.length(w).cast("double"))
-            / n,
-            6,
+            (F.length("text") - F.size(ws) + 1).cast("double") / n, 6
         ).alias("mean_word_len"),
     )
 
@@ -2962,7 +2963,16 @@ def q_estimator_quality(spark, sf_dir):
     )
     from data_quality_spark.plans.pipeline import score_files
 
-    train = score_files(generate_files_df(spark, n_files=600, seed=303)).cache()
+    # partitions=8 (not the 32-partition corpus default): the fixture is a
+    # FIXED 600-row frame at every sf, and every LBFGS iteration is one
+    # treeAggregate job over its partitions — 32 near-empty tasks per
+    # iteration were pure scheduling overhead (~12 jobs × 24 idle tasks).
+    # Float-drift note: fewer partitions changes treeAggregate association,
+    # which the gates already tolerate by design (F1 measured 1.0000 with
+    # huge margin over the 0.95/0.90 gates; counts are integers).
+    train = score_files(
+        generate_files_df(spark, n_files=600, seed=303, partitions=8)
+    ).cache()
     try:
         # max_iter=12: the rule labels are a near-deterministic function of
         # the features, so LBFGS reaches F1 = 1.0000 on train AND held-out
@@ -2973,7 +2983,7 @@ def q_estimator_quality(spark, sf_dir):
         m_train = evaluate_estimator(model, train)
     finally:
         train.unpersist()
-    held = score_files(generate_files_df(spark, n_files=300, seed=304))
+    held = score_files(generate_files_df(spark, n_files=300, seed=304, partitions=8))
     m_test = evaluate_estimator(model, held)
     coef = model.coefficients
     row = (
@@ -3465,77 +3475,123 @@ def q_semdedup(spark, sf_dir):
         )
         .select("vec_id", F.col("pv").alias("v"))
     )
-    e = base.unionByName(planted)
+    # lazy localCheckpoint (r6): e is the shared input of FIVE subtrees
+    # (fit sample-collect, the assign pass, and the vec/norm sides of the
+    # verification joins) — without it each subtree re-runs the
+    # read+cast+plant build (the self-join-subplans house rule; ~10 MB
+    # here, and the op checkpoints the assigned corpus anyway at scale)
+    e = base.unionByName(planted).localCheckpoint(eager=False)
     # max_cluster_size: the degenerate-cluster guard is load-bearing here —
     # oversized clusters run the salted block rounds + final exact pass;
     # every invariant below is guard-path-independent
+    # no checkpoint on sem (r6): the fused verification below consumes it
+    # exactly once, so there is no subtree reuse for a checkpoint to save
     sem = SIM.semdedup(
         e, "vec_id", "v", n_clusters=8, tau=tau, seed=7, max_cluster_size=200
-    ).localCheckpoint(eager=False)
-    vec = e.withColumn("n", F.sqrt(SIM._dot(F.col("v"), F.col("v"))))
-    s = sem.join(vec, "vec_id")
-    kept = s.filter(F.col("is_kept") == 1).select(
-        "cluster", F.col("vec_id").alias("k"), F.col("v").alias("kv"),
     )
-    # exact within-cluster pair pass over the kept set — the tiled numpy
-    # kernel (bit-identical cosines to the old kept×kept fold join, which
-    # was the query's dominant cost at scale)
-    kept_viol = DD.embedding_cosine_pairs(
-        kept, "k", "kv", "cluster", threshold=tau
-    ).agg(F.count("*").alias("nv"))
-    dropped = s.filter(F.col("is_kept") == 0)
-    dom_viol = (
-        dropped.alias("d")
-        .join(
-            vec.select(
-                F.col("vec_id").alias("dom_id"), F.col("v").alias("dv"),
-                F.col("n").alias("dn"),
-            ),
-            F.col("d.dominator") == F.col("dom_id"),
-            "left",
+    # One per-cluster verification pass (r6): a VALID dominator lives in
+    # the dropped row's own cluster, so each cluster group already holds
+    # every vector the checks need. The old shape (kept×kept kernel pass +
+    # two dominator joins + a separate counts scan) was ~10 AQE jobs of
+    # orchestration around 20k rows; this is one shuffle by cluster + one
+    # Arrow pass. Cosines use the SAME tiled kernel ops (dimension-
+    # ascending accumulation, norms from the self-dot, denominator
+    # multiplied once before the divide) — bit-identical to the fold/
+    # division form they replace, so every >= tau decision is unchanged.
+    # A dominator recorded OUTSIDE the row's cluster simply isn't found in
+    # the group and counts as bad — exactly the old dom_cluster check.
+    s = sem.join(e, "vec_id")
+
+    def _verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        keys = pdf["vec_id"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        A = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()[order]]
         )
-        .join(
-            sem.select(
-                F.col("vec_id").alias("dom_id2"),
-                F.col("cluster").alias("dom_cluster"),
-            ),
-            F.col("d.dominator") == F.col("dom_id2"),
-            "left",
+        kept = pdf["is_kept"].to_numpy()[order] == 1
+        dom_raw = pd.to_numeric(
+            pdf["dominator"], errors="coerce"
+        ).to_numpy(dtype=np.float64)[order]
+        nrm = SIM._np_norms(A)
+        dup = bool((keys[1:] == keys[:-1]).any()) if m > 1 else False
+        # kept-set pairwise-<tau check (the SemDeDup postcondition)
+        kidx = np.nonzero(kept)[0]
+        K, kn, kk = A[kidx], nrm[kidx], keys[kidx]
+        mk, kv = len(kidx), 0
+        for i0 in range(0, mk, SIM._PAIR_TILE):
+            i1 = min(i0 + SIM._PAIR_TILE, mk)
+            for j0 in range(i0, mk, SIM._PAIR_TILE):
+                j1 = min(j0 + SIM._PAIR_TILE, mk)
+                M = SIM._np_cos_tile(K, kn, i0, i1, j0, j1) >= tau
+                kv += int(SIM._np_pair_mask(M, kk, i0, i1, j0, j1, dup).sum())
+        # dominator validity for every dropped row (exact recomputation)
+        didx = np.nonzero(~kept)[0]
+        bad = 0
+        if len(didx):
+            dk = keys[didx]
+            dv = dom_raw[didx]
+            exists = ~np.isnan(dv)
+            di = np.zeros(len(didx), dtype=np.int64)
+            if exists.any():
+                needles = dv[exists].astype(np.int64)
+                pos = np.searchsorted(keys, needles)
+                inb = pos < m
+                found = np.zeros(needles.shape, dtype=bool)
+                found[inb] = keys[pos[inb]] == needles[inb]
+                exists[np.nonzero(exists)[0][~found]] = False
+                di[np.nonzero(exists)[0]] = pos[found]
+            ok = exists & (dv < dk)
+            if ok.any():
+                oi = np.nonzero(ok)[0]
+                Ad, An = A[didx[oi]], A[di[oi]]
+                D = np.zeros(len(oi))
+                for t in range(A.shape[1]):
+                    D += Ad[:, t] * An[:, t]
+                cos = D / (nrm[didx[oi]] * nrm[di[oi]])
+                ok[oi] &= cos >= tau
+            bad = int((~ok).sum())
+        return pd.DataFrame(
+            {
+                "n_vecs": [m],
+                "n_kept": [int(kept.sum())],
+                "n_dropped": [m - int(kept.sum())],
+                "nv": [kv],
+                "bad": [bad],
+            }
         )
-        .withColumn(
-            "ok",
-            F.col("dom_id").isNotNull()
-            & (F.col("d.dominator") < F.col("d.vec_id"))
-            & (F.col("dom_cluster") == F.col("d.cluster"))
-            & (
-                SIM._dot(F.col("d.v"), F.col("dv"))
-                / (F.col("d.n") * F.col("dn"))
-                >= tau
-            ),
+
+    stats = (
+        s.groupBy("cluster")
+        .applyInPandas(
+            _verify,
+            "n_vecs bigint, n_kept bigint, n_dropped bigint, "
+            "nv bigint, bad bigint",
         )
         .agg(
-            F.sum((~F.col("ok")).cast("long")).alias("bad"),
-            F.count("*").alias("n_dropped"),
+            F.sum("n_vecs").alias("n_vecs"),
+            F.sum("n_kept").alias("n_kept"),
+            F.sum("n_dropped").alias("n_dropped"),
+            F.sum("nv").alias("nv"),
+            F.sum("bad").alias("bad"),
         )
     )
-    counts = sem.agg(
-        F.count("*").alias("n_vecs"),
-        F.sum("is_kept").alias("n_kept"),
-    )
-    return (
-        counts.crossJoin(F.broadcast(kept_viol))
-        .crossJoin(F.broadcast(dom_viol))
-        .select(
-            F.col("n_vecs").cast("bigint").alias("n_vecs"),
-            (F.col("n_kept") + F.col("n_dropped") == F.col("n_vecs"))
-            .cast("int")
-            .alias("partition_ok"),
-            (F.col("nv") == 0).cast("int").alias("kept_pairs_ok"),
-            (F.coalesce(F.col("bad"), F.lit(0)) == 0)
-            .cast("int")
-            .alias("dominators_ok"),
-            (F.col("n_dropped") >= 1).cast("int").alias("has_drops"),
-        )
+    return stats.select(
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        (F.col("n_kept") + F.col("n_dropped") == F.col("n_vecs"))
+        .cast("int")
+        .alias("partition_ok"),
+        (F.coalesce(F.col("nv"), F.lit(0)) == 0)
+        .cast("int")
+        .alias("kept_pairs_ok"),
+        (F.coalesce(F.col("bad"), F.lit(0)) == 0)
+        .cast("int")
+        .alias("dominators_ok"),
+        (F.col("n_dropped") >= 1).cast("int").alias("has_drops"),
     )
 
 

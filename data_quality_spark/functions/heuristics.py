@@ -38,11 +38,17 @@ def max_line_len(content: Column) -> Column:
 
 
 def avg_line_len(content: Column) -> Column:
-    # mean over line lengths (not n_chars/n_lines: excludes the \n bytes)
-    ll = F.transform(lines_col(content), F.length)
-    return F.aggregate(
-        ll, F.lit(0.0), lambda acc, x: acc + x.cast("double")
-    ) / F.greatest(F.size(ll), F.lit(1)).cast("double")
+    # mean over line lengths (not n_chars/n_lines: excludes the \n bytes).
+    # Closed form: split('\n') partitions the content, so
+    # Σ len(line) = length(content) − (n_lines − 1) EXACTLY (code points),
+    # and the oracle's python-int sum is the same integer — bit-identical
+    # to the old transform+aggregate fold (integer-valued doubles < 2^53),
+    # without two interpreted HOF passes per row (transform/aggregate are
+    # CodegenFallback; length/size/arithmetic stay in whole-stage codegen).
+    n = F.size(lines_col(content))
+    return (F.length(content) - n + 1).cast("double") / F.greatest(
+        n, F.lit(1)
+    ).cast("double")
 
 
 _ALNUM_CHARS = (
@@ -87,9 +93,10 @@ def with_heuristics(df, content_col: str = "content"):
             "n_chars": n_chars(c),
             "n_lines": F.size(ls),
             "max_line_len": F.coalesce(F.array_max(line_lens), F.lit(0)),
-            "avg_line_len": F.aggregate(
-                line_lens, F.lit(0.0), lambda acc, x: acc + x.cast("double")
-            )
+            # closed form (see avg_line_len): Σ len(line) =
+            # length − (n_lines − 1) exactly — drops the interpreted
+            # transform+aggregate fold from the per-row stage
+            "avg_line_len": (F.length(c) - F.size(ls) + 1).cast("double")
             / n_ls.cast("double"),
             "alnum_frac": alnum_frac(c),
             "dup_line_ratio": F.lit(1.0)

@@ -263,6 +263,86 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_index_sampled(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    seed: int = 7,
+    max_iter: int = 5,
+    sample_cap: int = 131072,
+):
+    """ivf_index for callers whose clustering only needs to be a BOUND, not
+    a quality quantizer (semdedup): fit Lloyd on a seed-deterministic
+    bounded sample driver-side (the repo's bounded-dictionary-collect
+    pattern — ≤ ``sample_cap`` rows regardless of corpus size), then
+    assign the whole corpus in ONE narrow Arrow pass against the broadcast
+    centroids. The pyspark.ml fit paid ~2 distributed scans per Lloyd
+    iteration plus the init pass in job scheduling alone; here the corpus
+    is scanned once for the count, ≤ once for the sample, and once for the
+    assignment. ivf_topk keeps the distributed fit (its recall gate
+    depends on centroid quality at corpus scale).
+
+    Returns (assigned_df with 'ivf_cluster', centroids ndarray) — the
+    ivf_index contract. Zero vectors assign fine (squared distance, no
+    division): the degenerate-embedding convention is unchanged."""
+    import pandas as pd
+
+    # limit(cap+1) fast path: LocalLimit stops the scan early, and when it
+    # returns <= cap rows it IS the whole (unbiased) input — one collect,
+    # no count job. Only a larger-than-cap corpus pays the count + sample.
+    head = df.select(F.col(vec_col)).limit(sample_cap + 1).toPandas()
+    if len(head) == 0:
+        assigned = df.select(
+            key_col, F.col(vec_col), F.lit(0).alias("ivf_cluster")
+        )
+        return assigned, np.zeros((0, 0))
+    dim = len(head.iloc[0, 0])
+    if len(head) <= sample_cap:
+        samp_vals = head.iloc[:, 0]
+    else:
+        n = df.count()
+        samp_vals = (
+            df.sample(fraction=min(1.0, 1.05 * sample_cap / n), seed=seed)
+            .select(F.col(vec_col))
+            .toPandas()
+            .iloc[:, 0]
+        )
+    X = np.array(
+        [np.asarray(v, dtype=np.float64) for v in samp_vals]
+    ).reshape(-1, dim)
+    k = min(n_clusters, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    xsq = (X * X).sum(axis=1, keepdims=True)
+    prev = None
+    for _ in range(max_iter):
+        d2 = xsq - 2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        a = d2.argmin(axis=1)
+        if prev is not None and np.array_equal(a, prev):
+            break
+        prev = a
+        for j in range(k):
+            m = a == j
+            if m.any():  # empty cluster keeps its previous center
+                C[j] = X[m].mean(axis=0)
+    Cb = C.copy()
+    csq = (Cb * Cb).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(v):
+        A = np.array(
+            [np.asarray(x, dtype=np.float64) for x in v]
+        ).reshape(-1, Cb.shape[1])
+        d = (A * A).sum(axis=1, keepdims=True) - 2.0 * (A @ Cb.T) + csq
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    assigned = df.select(
+        key_col, F.col(vec_col), _assign(F.col(vec_col)).alias("ivf_cluster")
+    )
+    return assigned, C
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,
@@ -307,16 +387,16 @@ def semdedup(
     rule — the dot-product fold must not replay per pair side).
 
     Returns (key, cluster, is_kept int, dominator key or null)."""
-    # fit_max_iter=5 + random init (not the IVF defaults): SemDeDup's
-    # clustering only BOUNDS the pair pass — every postcondition the
-    # driver row verifies is clustering-independent, so k-means|| init
-    # passes and extra Lloyd refinement buy nothing the dominance stage
-    # needs while each distributed pass costs a full scan of the
-    # embeddings. ivf_topk keeps 20 iterations + k-means|| (its recall
-    # gate depends on centroid quality).
-    assigned, _ = ivf_index(
-        df, key_col, vec_col, n_clusters, seed,
-        max_iter=fit_max_iter, init_mode="random",
+    # Sampled driver-side fit (r6): SemDeDup's clustering only BOUNDS the
+    # pair pass — every postcondition the driver row verifies is
+    # clustering-independent, so distributed Lloyd iterations buy nothing
+    # the dominance stage needs while each costs a full scan of the
+    # embeddings in job scheduling alone. ivf_index_sampled fits on a
+    # seed-deterministic bounded sample driver-side and assigns in one
+    # narrow Arrow pass; ivf_topk keeps the distributed 20-iteration
+    # k-means|| fit (its recall gate depends on centroid quality).
+    assigned, _ = ivf_index_sampled(
+        df, key_col, vec_col, n_clusters, seed, max_iter=fit_max_iter,
     )
     return semdedup_from_assigned(
         assigned, key_col, vec_col, tau, max_cluster_size=max_cluster_size
