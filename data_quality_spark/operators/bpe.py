@@ -172,10 +172,15 @@ def fit_bpe_merges(
         return py_bpe_reference(
             collect_word_freqs(df, text_col, max_dict_rows), n_merges
         )
+    # lazy checkpoints throughout (r6): eager=True spent one dedicated job
+    # per materialization; eager=False materializes inside the NEXT
+    # round's pair-count job (which reads it anyway) and replays from the
+    # cached blocks thereafter — same lineage truncation, one job per
+    # round instead of two
     dic = (
         word_freqs(df, text_col)
         .select("w", "freq", F.split("w", "").alias("syms"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[dict] = []
     for rank in range(1, n_merges + 1):
@@ -211,14 +216,18 @@ def fit_bpe_merges(
                 "pair_count": int(cnt),
             }
         )
+        if rank == n_merges:
+            # the final round's rewrite would be checkpointed and never
+            # read — the merge table is already complete
+            break
         if engine == "arrow":
             dic = _rewrite_merge_arrow(
                 dic, a, b, "w string, freq long, syms array<string>"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
         else:
             dic = dic.withColumn(
                 "syms", _merge_adjacent(F.col("syms"), a, b)
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
     return merges
 
 

@@ -616,12 +616,27 @@ def connected_components(
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint()  # edges may be an expensive plan (LSH join) —
-        # materialize ONCE, not once per propagation round
+        .localCheckpoint(eager=False)  # edges may be an expensive plan (LSH
+        # join) — materialize ONCE (lazily, inside the first round's
+        # propagation job), not once per propagation round
     )
-    labels = nodes.select(
-        F.col(key_col).alias("node"), F.col(key_col).alias("label")
-    ).localCheckpoint()
+    # Touched-subgraph restriction (r6): only nodes that appear in an edge
+    # can ever change label — everyone else keeps label == own key, so the
+    # propagation rounds run over the EDGE-ENDPOINT set (bounded by 2|E|,
+    # tiny after candidate generation at any corpus size) and the
+    # untouched corpus is attached once at the end with a left join.
+    # Output-identical: the inner join against ``nodes`` keeps the old
+    # semantics that an edge endpoint absent from ``nodes`` neither
+    # receives a label nor bridges propagation.
+    labels = (
+        nodes.select(F.col(key_col).alias("node"))
+        .join(
+            sym.select(F.col("src").alias("node")).distinct(),
+            "node",
+        )
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for i in range(max_iters):
         nb = (
@@ -646,7 +661,9 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # eager=False: the convergence agg right below materializes
+            # the checkpoint in its own job; the next round replays blocks
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -657,7 +674,23 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds "
             "(graph deeper than 2^max_iters?) — refusing to return partial labels"
         )
-    return labels.select(F.col("node").alias(key_col), F.col("label").alias("cluster_id"))
+    # attach the untouched corpus: every node without an edge is its own
+    # component (label == key), exactly what the old full-corpus rounds
+    # propagated for it
+    return (
+        nodes.select(F.col(key_col))
+        .join(
+            labels.select(
+                F.col("node").alias(key_col), F.col("label").alias("_cc")
+            ),
+            key_col,
+            "left",
+        )
+        .select(
+            key_col,
+            F.coalesce(F.col("_cc"), F.col(key_col)).alias("cluster_id"),
+        )
+    )
 
 
 def embedding_cosine_pairs(

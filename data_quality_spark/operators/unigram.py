@@ -267,17 +267,23 @@ def fit_unigram(
             min_count=min_count,
             seed_size=seed_size,
         )
+    # eager=False (r6): the word dictionary materializes inside the seed
+    # pass's first job instead of a dedicated one; later rounds replay
+    # the cached blocks identically
     words = (
         word_freqs(df, text_col)
         .select("w", "freq")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def collect_counts(probs: dict[str, Decimal]) -> dict[str, int]:
         rows = _piece_counts(words, probs, max_piece_len).collect()
         return {r["piece"]: int(r["count"]) for r in rows}
 
-    pc = _piece_counts(words, None, max_piece_len)
+    # lazy checkpoint (r6): the singles/top_multi self-union would
+    # otherwise evaluate the substring-count Arrow pass once PER BRANCH
+    # (self-join-subplans house rule)
+    pc = _piece_counts(words, None, max_piece_len).localCheckpoint(eager=False)
     singles = pc.filter(F.length("piece") == 1)
     top_multi = (
         pc.filter((F.length("piece") > 1) & (F.col("count") >= min_count))
