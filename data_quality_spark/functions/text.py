@@ -32,13 +32,16 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-flavored proxy: count of word-piece + punctuation matches
-    (identical regex class in Java and DuckDB RE2)."""
-    return F.size(
-        F.filter(
-            F.split(text, "[^a-zA-Z0-9]+"),
-            lambda w: F.length(w) > 0,
-        )
-    ) + F.length(F.regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    (identical regex class in Java and DuckDB RE2).
+
+    Word pieces via regexp_count over the POSITIVE class: the number of
+    non-empty tokens left by split('[^a-zA-Z0-9]+') IS the number of
+    maximal [a-zA-Z0-9]+ runs, for any string — and the split form
+    materialized a string array per row just to count it (measured 34×
+    slower at sf1.0; r6)."""
+    return F.regexp_count(text, F.lit("[a-zA-Z0-9]+")) + F.length(
+        F.regexp_replace(text, "[a-zA-Z0-9\\s]", "")
+    )
 
 
 def stopword_ratio(text: Column) -> Column:
