@@ -197,24 +197,34 @@ class LangIdModel:
         # promotes and re-casts the whole int32 doc array every call
         # (measured 20× the entire predict cost)
         tile_starts = np.arange(0, n + B, B, dtype=np.int32)
+        # precompute each run's GLOBAL flat index doc*NB + h once (int32
+        # while n*NB fits — one multiply-add over the stream instead of
+        # one per tile), so each tile runs ONE bincount over the
+        # concatenated run segments rather than one per run plus a 2 MB
+        # int64 merge-add (counts are order-independent: bit-identical)
+        flat_t = np.int32 if n * N_BUCKETS < 2**31 else np.int64
         run_bounds = [
-            (doc, h, np.searchsorted(doc, tile_starts, side="left"))
+            (
+                doc.astype(flat_t) * N_BUCKETS + h,
+                np.searchsorted(doc, tile_starts, side="left"),
+            )
             for doc, h in runs
         ]
         for ti, lo in enumerate(range(0, n, B)):
             hi = min(lo + B, n)
-            tile = np.zeros((hi - lo) * N_BUCKETS, dtype=np.int64)
-            first = True
-            for doc, h, bounds in run_bounds:
-                a, b = bounds[ti], bounds[ti + 1]
-                if a == b:
-                    continue
-                seg = np.bincount(
-                    (doc[a:b] - lo) * N_BUCKETS + h[a:b],
+            segs = [
+                g[bounds[ti]: bounds[ti + 1]]
+                for g, bounds in run_bounds
+                if bounds[ti] < bounds[ti + 1]
+            ]
+            if not segs:
+                tile = np.zeros((hi - lo) * N_BUCKETS, dtype=np.int64)
+            else:
+                idx = segs[0] if len(segs) == 1 else np.concatenate(segs)
+                tile = np.bincount(
+                    idx - flat_t(lo * N_BUCKETS),
                     minlength=(hi - lo) * N_BUCKETS,
                 )
-                tile = seg if first else tile + seg
-                first = False
             ftile = tile.astype(np.float32).reshape(hi - lo, N_BUCKETS)
             logits[lo:hi] = (ftile @ self.weights).astype(np.float64)
             norm[lo:hi] = ftile.sum(axis=1)

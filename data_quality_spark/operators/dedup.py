@@ -768,7 +768,7 @@ def duplicate_spans(
     text_col: str,
     window_k: int = 4,
     min_docs: int = 2,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact duplicated-span detection: substring-level dedup stats per doc.
 
@@ -783,40 +783,41 @@ def duplicate_spans(
     from elsewhere" signal a quality filter thresholds on.
 
     100 TB shape: linear in total words end-to-end — explode window hashes
-    (map-side narrow), groupBy(hash) doc-frequency count (map-side partial
-    agg absorbs hot windows, so a boilerplate span in 10^8 files costs one
-    combiner row per task, not a skewed sort partition), left-join only the
-    FILTERED flag side (duplicated hashes, a small fraction of all windows,
-    broadcastable under AQE at moderate dup rates), final groupBy(doc).
-    No pairwise comparison anywhere: cost is independent of how duplicated
-    the corpus is — the property that makes this the scale path where the
-    pair-producing dedup ops (jaccard/minhash) are reserved for ranking.
+    (map-side narrow), doc frequency as ONE window count over the hash
+    partition (r6: the house per-key-counts pattern; the old
+    groupBy+join-back shuffled the occurrence stream twice), final
+    groupBy(doc). No pairwise comparison anywhere: cost is independent of
+    how duplicated the corpus is — the property that makes this the scale
+    path where the pair-producing dedup ops (jaccard/minhash) are reserved
+    for ranking.
 
     (k, w) rows are distinct by construction (hashed_shingle_sets is
     array_distinct per doc), so count(*) per doc = distinct windows.
+
+    ``materialize`` is retained for API compatibility but no longer
+    defaults on: the window-count form consumes the shingle frame exactly
+    once, so there is no shared subtree for a checkpoint to save.
     """
     sh = hashed_shingle_sets(df, key_col, text_col, None, window_k)
     if materialize:
-        # the md5 word-hash fold feeds BOTH join branches (the per-doc
-        # window stream and the doc-frequency aggregate); without
-        # materialization each branch recomputes it from the scan —
-        # same discipline as ngram_jaccard_pairs(materialize=True)
         sh = sh.localCheckpoint(eager=True)
     # explode_outer: the shingle arrays are never empty, and plain explode
     # re-inlines the md5 fold below the projection (no-CSE trap; see
     # _prefix_candidates_from)
     wins = sh.select("k", F.explode_outer("sh").alias("w"))
-    dup_flags = (
-        wins.groupBy("w")
-        .agg(F.count("*").alias("ndocs"))
-        .filter(F.col("ndocs") >= min_docs)
+    # doc frequency via ONE window count over the window-hash partition
+    # (the house per-key-counts pattern — jaccard/containment/tfidf moved
+    # in r6): identical values to the old groupBy+join-back, one fewer
+    # shuffle of the occurrence stream. (k, w) rows are distinct per doc,
+    # so count(*) over w IS the distinct-doc frequency.
+    counted = wins.withColumn(
+        "ndocs", F.count("*").over(Window.partitionBy("w"))
     )
     return (
-        wins.join(dup_flags, "w", "left")
-        .groupBy("k")
+        counted.groupBy("k")
         .agg(
             F.count("*").alias("n_windows"),
-            F.count("ndocs").alias("n_dup"),
+            F.sum((F.col("ndocs") >= min_docs).cast("long")).alias("n_dup"),
         )
         .withColumn(
             "dup_frac",
