@@ -78,11 +78,37 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # repartition of 100 TB); only a scan narrower than the cluster's
     # parallelism gets spread. Guard expression is partition-count only —
     # no job is triggered.
+    # ...but only when there is enough data for the spread to buy compute
+    # (r6): a dimension-table-sized file (nation: 25 rows) repartitioned
+    # to the cluster width pays one exchange plus `par` near-empty tasks
+    # in EVERY consumer and parallelizes nothing. Size check is driver-
+    # side file metadata — no job.
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if (
+        df.rdd.getNumPartitions() < par
+        and _dir_bytes(_t(sf_dir, name)) >= _SPREAD_MIN_BYTES
+    ):
         df = df.repartition(par)
     _READERS[key] = df
     return df
+
+
+_SPREAD_MIN_BYTES = 1 << 18  # 256 KB — below this a scan stays natural
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    try:
+        for entry in os.scandir(path):
+            if entry.is_file():
+                total += entry.stat().st_size
+    except OSError:
+        return _SPREAD_MIN_BYTES  # unknown layout: keep the old behavior
+    return total
 
 
 def _utc(spark: SparkSession) -> None:

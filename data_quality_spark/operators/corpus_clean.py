@@ -304,7 +304,8 @@ def remove_duplicate_spans(
     wins = base.select(
         "k", "n_words", F.posexplode_outer("wha").alias("pos", "w")
     ).select("k", "n_words", (F.col("pos") + 1).alias("i"), "w")
-    wins = wins.localCheckpoint(eager=True)
+    wins = wins.localCheckpoint(eager=False)  # materializes inside the
+    # doc-frequency job (its first consumer); the cut join replays blocks
     dup_w = (
         wins.groupBy("w")
         .agg(
