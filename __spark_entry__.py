@@ -62,8 +62,10 @@ def _t(sf_dir: str, name: str) -> str:
 _READERS: dict = {}
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    key = (id(spark), sf_dir, name, spread)
     cached = _READERS.get(key)
     if cached is not None:
         return cached
@@ -83,9 +85,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # to the cluster width pays one exchange plus `par` near-empty tasks
     # in EVERY consumer and parallelizes nothing. Size check is driver-
     # side file metadata — no job.
+    # ``spread=False`` (r6): queries whose FIRST operation is itself an
+    # exchange (window/groupBy/join-leading plans with trivial narrow
+    # compute) gain nothing from the spread — the scan-side work is
+    # parquet decode + shuffle write, single-task either way — while the
+    # RoundRobin costs a full extra round-trip of the rows (A/B at
+    # sf1.0-proxy: events window 1.86 -> 0.80 s, per-user aggregate
+    # 1.27 -> 0.25 s). Narrow-compute-heavy queries (md5/HOF/Arrow work
+    # before any shuffle) keep the default spread.
     par = spark.sparkContext.defaultParallelism
     if (
-        df.rdd.getNumPartitions() < par
+        spread
+        and df.rdd.getNumPartitions() < par
         and _dir_bytes(_t(sf_dir, name)) >= _SPREAD_MIN_BYTES
     ):
         df = df.repartition(par)
@@ -125,7 +136,7 @@ def _utc(spark: SparkSession) -> None:
 # the reference score semantics (measure.py:23-30) including gt = -1.
 
 def _annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = _read(spark, sf_dir, "orders", spread=False).select("o_orderkey", "o_custkey")
     return o.select(
         F.col("o_orderkey").alias("sample_id"),
         (F.col("o_orderkey") % 5).cast("int").alias("a1"),
@@ -1038,7 +1049,7 @@ def _sql_embed_topk_batch() -> str:
 
 
 def q_tpch_q1(spark, sf_dir):
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem", spread=False)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -1082,8 +1093,8 @@ SQL_TPCH_Q1 = """
 
 def q_revenue_by_nation(spark, sf_dir):
     """customer ⋈ orders ⋈ nation with the dims broadcast."""
-    o = _read(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _read(spark, sf_dir, "orders", spread=False).select("o_custkey", "o_totalprice")
+    c = _read(spark, sf_dir, "customer", spread=False).select("c_custkey", "c_nationkey")
     n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -1121,7 +1132,7 @@ SQL_DECODE_JOIN = """
 
 def q_resume_pending(spark, sf_dir):
     """Checkpoint-resume join shape: partitions minus done ones (left anti)."""
-    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o = _read(spark, sf_dir, "orders", spread=False).select("o_orderkey", "o_orderstatus")
     parts = o.select((F.col("o_orderkey") % 16).alias("part_id")).distinct()
     done = (
         o.filter(F.col("o_orderstatus") == "F")
@@ -1338,8 +1349,8 @@ SQL_PACK_SEQUENCES = """
 
 def q_semi_join(spark, sf_dir):
     """EXISTS / left-semi: orders having at least one big lineitem."""
-    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _read(spark, sf_dir, "orders", spread=False).select("o_orderkey", "o_totalprice")
+    li = _read(spark, sf_dir, "lineitem", spread=False).select("l_orderkey", "l_extendedprice")
     big = li.filter(F.col("l_extendedprice") > 80000).select("l_orderkey")
     return (
         o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
@@ -1359,7 +1370,7 @@ SQL_SEMI_JOIN = """
 def q_events_running(spark, sf_dir):
     """Window frames: running sum + 3-row moving average per user."""
     _utc(spark)
-    e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    e = _read(spark, sf_dir, "events", spread=False).select("user_id", "ts", "event_id", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     running = F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
     moving = F.avg("value").over(w.rowsBetween(-2, 0))
@@ -1384,7 +1395,7 @@ SQL_EVENTS_RUNNING = """
 
 
 def q_topk_per_group(spark, sf_dir):
-    li = _read(spark, sf_dir, "lineitem").select(
+    li = _read(spark, sf_dir, "lineitem", spread=False).select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -1415,7 +1426,7 @@ SQL_TOPK_PER_GROUP = """
 
 def q_events_hourly(spark, sf_dir):
     _utc(spark)
-    e = _read(spark, sf_dir, "events").select("ts", "event_type", "value")
+    e = _read(spark, sf_dir, "events", spread=False).select("ts", "event_type", "value")
     return (
         e.groupBy(
             F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
@@ -1442,7 +1453,7 @@ SQL_EVENTS_HOURLY = """
 def q_events_count_windows(spark, sf_dir):
     """W1/W2/A4 on events: tumbling 30-row windows per user ordered by time;
     window class = 1 iff any error event inside (all-clean rule)."""
-    e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    e = _read(spark, sf_dir, "events", spread=False).select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     rn = F.row_number().over(w)
     win = e.withColumn("window_id", F.floor((rn - 1) / 30))
@@ -1469,7 +1480,7 @@ SQL_EVENTS_COUNT_WINDOWS = """
 def q_events_sessions(spark, sf_dir):
     """Sessionize: new session when gap > 30 min; per-user session stats."""
     _utc(spark)
-    e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    e = _read(spark, sf_dir, "events", spread=False).select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact epoch (cast to double) — unix_timestamp() truncates
     # to whole seconds and could disagree with the oracle's epoch() on gaps
@@ -1546,7 +1557,7 @@ def q_rollup_hierarchy(spark, sf_dir):
     # minute→hour→day re-aggregation is EXACT (double sums re-associate and
     # drift past the round() guard — the round-1 hash mismatch). min/max are
     # order-free; avg is derived from the exact decimal sum in both engines.
-    e = _read(spark, sf_dir, "events").select(
+    e = _read(spark, sf_dir, "events", spread=False).select(
         "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("value")
     )
     levels = rollup_hierarchy(e, "ts", "value", keys=["event_type"])
@@ -1580,7 +1591,7 @@ def q_quantiles(spark, sf_dir):
     linear interpolation). The at-scale variant is percentile_approx /
     t-digest — sketch internals differ per engine, so the oracle-checked
     query pins the exact form."""
-    e = _read(spark, sf_dir, "events").select("event_type", "value")
+    e = _read(spark, sf_dir, "events", spread=False).select("event_type", "value")
     return e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
@@ -1610,7 +1621,7 @@ def q_quantiles_approx(spark, sf_dir):
     δ = 1/accuracy + 2/n (the sketch's rank-error bound plus discreteness
     slack) — verified by a second counting pass, the same way you'd audit a
     sketch in production. Returns one self-validated row per event_type."""
-    e = _read(spark, sf_dir, "events").select("event_type", "value")
+    e = _read(spark, sf_dir, "events", spread=False).select("event_type", "value")
     acc = APPROX_QUANTILE_ACC
     ps = (0.5, 0.9, 0.99)
     ap = e.groupBy("event_type").agg(
@@ -1648,7 +1659,7 @@ SQL_QUANTILES_APPROX = """
 def q_pivot_event_types(spark, sf_dir):
     """Pivot via .pivot() with explicit column values (plan = conditional
     aggregation; oracle spells out the same conditional aggregates)."""
-    e = _read(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    e = _read(spark, sf_dir, "events", spread=False).select("user_id", "event_type", "value")
     kinds = ["click", "view", "purchase", "signup", "error"]
     out = (
         e.groupBy("user_id")
@@ -1805,7 +1816,7 @@ SQL_SCRUB_DOCUMENTS = r"""
 
 
 def q_distinct_agg(spark, sf_dir):
-    li = _read(spark, sf_dir, "lineitem").select(
+    li = _read(spark, sf_dir, "lineitem", spread=False).select(
         "l_returnflag", "l_partkey", "l_suppkey"
     )
     return li.groupBy("l_returnflag").agg(
@@ -1830,7 +1841,7 @@ def q_cube_events(spark, sf_dir):
     disambiguating the NULL-as-total rows — the multi-dimensional metrics
     shape a dashboard layer asks a 100 TB table for."""
     _utc(spark)
-    e = _read(spark, sf_dir, "events").select(
+    e = _read(spark, sf_dir, "events", spread=False).select(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.col("value").cast("decimal(18,6)").alias("vd"),
@@ -1905,7 +1916,7 @@ def q_outliers_mad(spark, sf_dir):
     # lazy localCheckpoint (r6): e feeds the median pass, the MAD pass and
     # the final scoring pass — one materialization instead of three
     # scan+repartition evaluations (self-join-subplans house rule)
-    e = _read(spark, sf_dir, "events").select(
+    e = _read(spark, sf_dir, "events", spread=False).select(
         "event_type", "value"
     ).localCheckpoint(eager=False)
     med = e.groupBy("event_type").agg(
@@ -1955,7 +1966,7 @@ def q_distinct_approx(spark, sf_dir):
     the configured relative standard deviation band of the exact count
     (rsd 0.01, gate at 5·rsd) — the same self-check discipline as
     quantiles_approx."""
-    li = _read(spark, sf_dir, "lineitem").select(
+    li = _read(spark, sf_dir, "lineitem", spread=False).select(
         "l_returnflag", "l_partkey", "l_suppkey"
     )
     rsd = 0.02
@@ -1992,8 +2003,8 @@ SQL_DISTINCT_APPROX = """
 
 def q_set_ops(spark, sf_dir):
     """union / intersect / except over customer key sets."""
-    c = _read(spark, sf_dir, "customer")
-    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer", spread=False)
+    o = _read(spark, sf_dir, "orders", spread=False)
     # no checkpoint on the key sets (r6 A/B): materializing the ~|orders|/2
     # id frame costs MORE than the duplicate columnar scans it would save —
     # measured 1.86 s plain vs 2.15 s checkpointed at sf1.0-proxy
@@ -2085,7 +2096,7 @@ def q_asof_join(spark, sf_dir):
     from data_quality_spark.operators.asof import asof_join
 
     _utc(spark)
-    e = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    e = _read(spark, sf_dir, "events", spread=False).select("event_id", "user_id", "ts", "event_type")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -2740,7 +2751,7 @@ def q_transpose_metrics(spark, sf_dir):
     (the reference transposes signal matrices in numpy; the tabular analog
     is a first-class Spark 4 relational op). Decimal-exact avg so the
     transposed doubles hash identically."""
-    e = _read(spark, sf_dir, "events").select(
+    e = _read(spark, sf_dir, "events", spread=False).select(
         "event_type", F.col("value").cast("decimal(18,6)").alias("vd")
     )
     agg = e.groupBy("event_type").agg(
@@ -3069,7 +3080,7 @@ def q_sessionized_counts(spark, sf_dir):
     from data_quality_spark.streaming.sessions import sessionized_counts
 
     _utc(spark)
-    e = _read(spark, sf_dir, "events").select(
+    e = _read(spark, sf_dir, "events", spread=False).select(
         "user_id", "ts", F.col("value").cast("decimal(18,6)").alias("value")
     )
     sw = sessionized_counts(
@@ -3966,6 +3977,10 @@ def build_corpus_summary(d):
     """The capstone composition over any (doc_id, source, text) frame —
     shared by q_corpus_build (driver oracle) and the N-vs-4N scaling
     probe (scripts/op_scaling_probe.py --op corpus_build)."""
+    # lazy localCheckpoint (r6): d feeds the fork-overlap subtree, the
+    # survivor anti-join AND (through kept_docs) two downstream consumers
+    # — one scan materialization instead of three (house rule)
+    d = d.localCheckpoint(eager=False)
     ov = DD.group_digest_overlap(
         d.select("source", "text"), "source", "text",
         prefix_len=60, max_groups=50,

@@ -1012,24 +1012,28 @@ def group_digest_overlap(
     Reference scope note: the reference has no corpus layer
     (/root/reference/runme.py is per-row); target-side pipeline op.
     """
+    # lazy localCheckpoint (r6): the distinct (group, digest) frame feeds
+    # the per-group sizes AND the rare-digest side — one distinct shuffle
+    # instead of three evaluations of the scan+md5+distinct pipeline
     d = (
         df.select(
             F.col(group_col).alias("g"),
             F.md5(F.substring(F.col(text_col), 1, prefix_len)).alias("dig"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = d.groupBy("g").agg(F.count("*").alias("n_files"))
-    rare = d.join(
-        d.groupBy("dig")
-        .agg(F.count("*").alias("gdf"))
+    # group frequency via ONE window count over the digest partition (the
+    # house per-key-counts pattern) instead of groupBy+join-back
+    rare = (
+        d.withColumn("gdf", F.count("*").over(Window.partitionBy("dig")))
         .filter(F.col("gdf") <= max_groups)
-        .select("dig"),
-        "dig",
+        .drop("gdf")
     )
     # lazily materialize before the self-join (no exchange reuse across
-    # the two sides in Spark 4.1 — the distinct+rare-filter pipeline ran
-    # twice); bounded: distinct (group, digest) rows
+    # the two sides in Spark 4.1 — the pipeline ran twice); bounded:
+    # distinct (group, digest) rows
     rare = rare.localCheckpoint(eager=False)
     pairs = (
         rare.alias("a")
