@@ -454,7 +454,10 @@ def q_split_leakage(spark, sf_dir):
     from data_quality_spark.operators.corpus_clean import split_leakage
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    sp = SP.with_row_split(d, "doc_id")
+    # lazy localCheckpoint (r6): the split frame feeds four subtrees
+    # (train digest index, train band index, test digest probe, test band
+    # probe) — one scan+split-hash materialization instead of four
+    sp = SP.with_row_split(d, "doc_id").localCheckpoint(eager=False)
     return split_leakage(
         sp, "doc_id", "text", "split",
         num_hashes=MINHASH_NUM, n_bands=MINHASH_BANDS, shingle_k=MINHASH_K,
@@ -3582,12 +3585,13 @@ def q_semdedup(spark, sf_dir):
         # kept-set pairwise-<tau check (the SemDeDup postcondition)
         kidx = np.nonzero(kept)[0]
         K, kn, kk = A[kidx], nrm[kidx], keys[kidx]
+        Kt = np.ascontiguousarray(K.T)  # (dim, mk) for the r6 tile kernel
         mk, kv = len(kidx), 0
         for i0 in range(0, mk, SIM._PAIR_TILE):
             i1 = min(i0 + SIM._PAIR_TILE, mk)
             for j0 in range(i0, mk, SIM._PAIR_TILE):
                 j1 = min(j0 + SIM._PAIR_TILE, mk)
-                M = SIM._np_cos_tile(K, kn, i0, i1, j0, j1) >= tau
+                M = SIM._np_cos_tile(Kt, kn, i0, i1, j0, j1) >= tau
                 kv += int(SIM._np_pair_mask(M, kk, i0, i1, j0, j1, dup).sum())
         # dominator validity for every dropped row (exact recomputation)
         didx = np.nonzero(~kept)[0]

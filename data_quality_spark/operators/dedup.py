@@ -728,12 +728,13 @@ def embedding_cosine_pairs(
             )
         keys, A, dup = _np_sorted_group(pdf, "_k", "_v")
         nrm = _np_norms(A)
+        At = np.ascontiguousarray(A.T)  # (dim, m) for the r6 tile kernel
         out_a, out_b, out_c = [], [], []
         for i0 in range(0, m, _PAIR_TILE):
             i1 = min(i0 + _PAIR_TILE, m)
             for j0 in range(i0, m, _PAIR_TILE):
                 j1 = min(j0 + _PAIR_TILE, m)
-                cos = _np_cos_tile(A, nrm, i0, i1, j0, j1)
+                cos = _np_cos_tile(At, nrm, i0, i1, j0, j1)
                 M = _np_pair_mask(cos >= threshold, keys, i0, i1, j0, j1, dup)
                 ii, jj = np.nonzero(M)
                 if len(ii):
@@ -878,9 +879,9 @@ def duplicate_span_extents(
     ).select("k", "n_words", (F.col("pos") + 1).alias("i"), "w")
     if materialize:
         # the positional stream feeds BOTH the doc-frequency aggregate and
-        # the island pass — materialize once (same discipline as
-        # duplicate_spans / ngram_jaccard_pairs)
-        wins = wins.localCheckpoint(eager=True)
+        # the island pass — materialize once, lazily (the doc-frequency
+        # job computes it; the island pass replays blocks)
+        wins = wins.localCheckpoint(eager=False)
     dup_w = (
         wins.groupBy("w")
         .agg(F.count_distinct("k").alias("ndocs"))
