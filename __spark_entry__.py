@@ -5111,37 +5111,71 @@ SQL_SECRET_SCAN = """
 # all-94 DuckDB gate each run — the window carries the queries with
 # OPERATOR-level r6 changes.
 CHANGED_THIS_ROUND = [
-    "embed_cosine_dup",     # r6: numpy tiled pair kernel (was join+fold)
-    "semdedup",             # r6: kernel dominance + 5-iter fit + kept_viol kernel
-    "dedup_minhash",        # r6: keyed codegen signature + band checkpoint
-    "dedup_clusters",       # same minhash_candidates path
-    "dedup_apply",          # same
-    "dedup_incremental",    # r6: keyed signature in index build + probe
+    "embed_cosine_dup",  # r6: numpy tiled pair kernel (+ transposed tile r6b)
+    "semdedup",  # r6: sampled fit, fused per-cluster verification, kernel
+    "dedup_minhash",  # r6: keyed codegen signature + band checkpoint
+    "dedup_clusters",  # r6: + touched-subgraph connected components
+    "dedup_apply",  # same
+    "dedup_incremental",  # r6: keyed signature in index build + probe
     "decontaminate_fuzzy",  # r6: keyed signature bands
-    "scrub_documents",      # r6: RE2 superset prefilter mask
-    "pii_report",           # r6: same mask in pii_rule_counts
-    "pipeline_keep_drop",   # scrub path beneath it (r5 VERDICT #4 rotation)
-    "doc_repetition",       # r6: fused single-explode rewrite
-    "media_dedup",          # r6: hot-band two-band-escalation guard
-    "estimator_quality",    # r6: max_iter=12 fit
+    "scrub_documents",  # r6: RE2 superset prefilter mask
+    "pii_report",  # r6: same mask in pii_rule_counts
+    "pipeline_keep_drop",  # scrub + heuristics closed forms + langid tiles
+    "doc_repetition",  # r6: fused single-explode rewrite
+    "media_dedup",  # r6: hot-band guard + shared pair kernel
+    "estimator_quality",  # r6: max_iter=12, 8-partition fixture
+    "heavy_hitters",  # r6: stream length from the word-count aggregate
+    "tfidf_terms",  # r6: document frequency via window count
+    "dedup_containment",  # r6: prefix-candidate window count
+    "corpus_build",  # r6: group_digest_overlap window count + checkpoints
+    "bpe_merges",  # r6: lazy round checkpoints, final rewrite skipped
+    "bpe_encode",  # same fit loop beneath the encode
+    "unigram_fit",  # r6: lazy checkpoints + seed-pass materialization
+    "unigram_encode",  # same fit beneath the encode
+    "tokenizer_compare",  # both tokenizer fits beneath it
+    "doc_heuristics",  # r6: mean_word_len closed form
+    "doc_tokens",  # r6: regexp_count alnum runs
+    "duplicate_spans",  # r6: window-count doc frequency
+    "embed_ivf_topk",  # r6: sampled exact-Lloyd quantizer fit
+    "source_forks",  # r6: group_digest_overlap window count
+    "fork_apply",  # same
+    "pipeline_metrics",  # heuristics closed forms + langid tiles beneath
+    "dedup_jaccard",  # r6: prefix-candidate window count
+    "duplicate_span_extents",  # r6: lazy stream checkpoint
+    "split_leakage",  # r6: lazy split-frame checkpoint
 ]
 
-# Empty this round: the 50-entry window holds every query whose latest
-# driver row is r4, including the three seats (tpch_q1/decode_join/
-# semi_join) that stood on exempted r3 rows in r4/r5.
-R3_GREEN_UNCHANGED_EXEMPT: list[str] = []
+# Nine r4-evidence seats stand on their full-green r3 rows this round:
+# their only r6 changes are plan-only infrastructure that touches every
+# query uniformly (the _read spread flag / size floor), value-verified by
+# the local all-94 DuckDB gate on every suite run — the same doctrine as
+# the r6 _read parallelize/memo changes. Their operator expressions are
+# untouched since their last driver check.
+R3_GREEN_UNCHANGED_EXEMPT: list[str] = [
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_entropy",
+    "doc_quality",
+    "doc_langid",
+    "dedup_simhash",
+    "tpch_q1",
+    "decode_join",
+    "semi_join",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS artifact records the FIRST
-    # 50 dict entries only. Round-6 window = the 13 queries whose
-    # implementing code changed this round (lead), then ALL 37 queries
-    # whose latest driver row is r4 — including the three former
-    # r3-exemption seats (tpch_q1/decode_join/semi_join), which fit this
-    # round, emptying the exemption list. Union of r5+r6 artifacts covers
+    # 50 dict entries only. Round-6 window = the 32 queries whose
+    # implementing code changed this round (lead), then the 18 remaining
+    # r4-evidence queries. Nine r4-evidence seats whose only r6 change is
+    # uniform plan-only infrastructure stand on full-green r3 rows
+    # (R3_GREEN_UNCHANGED_EXEMPT above) — that frees exactly the seats the
+    # changed set needs. Union of r3-exempt + r5 + r6 artifacts covers
     # every entry with no stale-code rows.
     return {
-        # -- r6 driver window (first 50): code changed this round, lead --
+        # -- r6 driver window (first 50) --
+        # lead: the 32 queries whose implementing code changed in r6
         "embed_cosine_dup": q_embed_cosine_dup,
         "semdedup": q_semdedup,
         "dedup_minhash": q_dedup_minhash,
@@ -5155,16 +5189,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "media_dedup": q_media_dedup,
         "estimator_quality": q_estimator_quality,
-        # -- r4-evidence tail: every query whose latest driver row is r4
-        #    (includes the three former r3 exemptions — the window has
-        #    room this round, so the exemption list is now EMPTY) --
-        "pipeline_metrics": q_pipeline_metrics,
-        "line_dedup_global": q_line_dedup_global,
-        "dedup_exact": q_dedup_exact,
+        "heavy_hitters": q_heavy_hitters,
+        "tfidf_terms": q_tfidf_terms,
+        "dedup_containment": q_dedup_containment,
+        "corpus_build": q_corpus_build,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "unigram_fit": q_unigram_fit,
+        "unigram_encode": q_unigram_encode,
+        "tokenizer_compare": q_tokenizer_compare,
+        "doc_heuristics": q_doc_heuristics,
+        "doc_tokens": q_doc_tokens,
         "duplicate_spans": q_duplicate_spans,
-        "tpch_q1": q_tpch_q1,
-        "decode_join": q_decode_join,
-        "semi_join": q_semi_join,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "source_forks": q_source_forks,
+        "fork_apply": q_fork_apply,
+        "pipeline_metrics": q_pipeline_metrics,
+        "dedup_jaccard": q_dedup_jaccard,
+        "duplicate_span_extents": q_duplicate_span_extents,
+        "split_leakage": q_split_leakage,
+        # then: every query whose latest driver row is r4 and whose
+        # code changed or lacks a full-green r3 exemption row
+        "line_dedup_global": q_line_dedup_global,
         "decontaminate": q_decontaminate,
         "boilerplate_lines": q_boilerplate_lines,
         "transpose_metrics": q_transpose_metrics,
@@ -5174,30 +5220,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "quantiles_approx": q_quantiles_approx,
         "pivot_event_types": q_pivot_event_types,
-        "embed_ivf_topk": q_embed_ivf_topk,
         "symbolic_sequences": q_symbolic_sequences,
-        "duplicate_span_extents": q_duplicate_span_extents,
         "quality_auc": q_quality_auc,
-        "split_leakage": q_split_leakage,
-        "source_forks": q_source_forks,
         "dsir_weights": q_dsir_weights,
-        "fork_apply": q_fork_apply,
         "ngram_diversity": q_ngram_diversity,
         "snapshot_diff": q_snapshot_diff,
         "agreement_score": q_agreement_score,
         "agreement_buckets": q_agreement_buckets,
         "quality_binarize": q_quality_binarize,
-        "doc_heuristics": q_doc_heuristics,
-        "doc_langid": q_doc_langid,
-        "doc_tokens": q_doc_tokens,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_entropy": q_doc_entropy,
-        "doc_quality": q_doc_quality,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        # -- r5-green, code untouched in r6 (covered by CORRECTNESS_r05) --
+        # -- beyond the window: r5-green untouched code, plus the
+        #    nine R3_GREEN_UNCHANGED_EXEMPT seats (see list above) --
         "resume_pending": q_resume_pending,
-        "dedup_containment": q_dedup_containment,
         "code_markers": q_code_markers,
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
@@ -5208,7 +5241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "hygiene_report": q_hygiene_report,
         "bigram_lm_fit": q_bigram_lm_fit,
-        "tfidf_terms": q_tfidf_terms,
         "events_running": q_events_running,
         "events_hourly": q_events_hourly,
         "events_count_windows": q_events_count_windows,
@@ -5228,18 +5260,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": q_source_quality,
         "ppl_terciles": q_ppl_terciles,
         "sessionized_counts": q_sessionized_counts,
-        "heavy_hitters": q_heavy_hitters,
-        "unigram_fit": q_unigram_fit,
-        "unigram_encode": q_unigram_encode,
         "license_report": q_license_report,
         "license_gate": q_license_gate,
         "dedup_normalized": q_dedup_normalized,
-        "tokenizer_compare": q_tokenizer_compare,
         "secret_scan": q_secret_scan,
         "despan_apply": q_despan_apply,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
-        "corpus_build": q_corpus_build,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_entropy": q_doc_entropy,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "dedup_simhash": q_dedup_simhash,
+        "tpch_q1": q_tpch_q1,
+        "decode_join": q_decode_join,
+        "semi_join": q_semi_join,
     }
 
 
