@@ -436,9 +436,26 @@ def _prefix_candidates_from(
         - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
         + 1
     )
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("k", *grp, "w")
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        "k", "sz", *grp, "w"
+    )
     l, r = prefix.alias("l"), prefix.alias("r")
-    on = [F.col("l.w") == F.col("r.w"), F.col("l.k") < F.col("r.k")]
+    # LENGTH FILTER (r6, PPJoin family): J(A,B) >= t forces
+    # min(|A|,|B|) >= t*max(|A|,|B|) (the intersection fits in the smaller
+    # set, the union contains the larger), so size-incompatible pairs are
+    # pruned INSIDE the candidate join — before the distinct and before
+    # the verify join materializes both shingle arrays. Same 1e-9 slack
+    # as the prefix-length ceil: float t*sz may round a hair above the
+    # real product, and the filter must stay a SUPERSET of true pairs.
+    t = F.lit(float(threshold))
+    on = [
+        F.col("l.w") == F.col("r.w"),
+        F.col("l.k") < F.col("r.k"),
+        F.col("l.sz").cast("double")
+        >= t * F.col("r.sz").cast("double") - F.lit(1e-9),
+        F.col("r.sz").cast("double")
+        >= t * F.col("l.sz").cast("double") - F.lit(1e-9),
+    ]
     if has_group:
         on.append(F.col("l.g") == F.col("r.g"))
     return (
@@ -956,9 +973,21 @@ def ngram_containment_pairs(
         - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
         + 1
     )
-    probe = ranked.filter(F.col("rn") <= prefix_len).select("k", *grp, "w")
-    full = words.select("k", *grp, "w")
-    on = [F.col("l.w") == F.col("r.w"), F.col("l.k") != F.col("r.k")]
+    probe = ranked.filter(F.col("rn") <= prefix_len).select(
+        "k", "sz", *grp, "w"
+    )
+    full = words.select("k", "sz", *grp, "w")
+    # directed LENGTH FILTER (r6): |Sa∩Sb| >= t*|Sa| and |Sa∩Sb| <= |Sb|
+    # force |Sb| >= t*|Sa| — b-side-too-small pairs pruned inside the
+    # candidate join (same superset-preserving 1e-9 slack as the prefix
+    # ceil)
+    on = [
+        F.col("l.w") == F.col("r.w"),
+        F.col("l.k") != F.col("r.k"),
+        F.col("r.sz").cast("double")
+        >= F.lit(float(threshold)) * F.col("l.sz").cast("double")
+        - F.lit(1e-9),
+    ]
     if group_col:
         on.append(F.col("l.g") == F.col("r.g"))
     cand = (

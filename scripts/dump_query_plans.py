@@ -27,7 +27,9 @@ def main() -> None:
     import __spark_entry__ as E
     from data_quality_spark.session import get_spark
 
-    spark = get_spark("plan-dump", cpus=8)
+    spark = get_spark(
+        "plan-dump", cpus=int(os.environ.get("PLAN_DUMP_CPUS", "8"))
+    )
     qmap = E.queries()
     for name in names:
         df = qmap[name](spark, SF_DIR)
