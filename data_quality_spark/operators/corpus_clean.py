@@ -217,6 +217,13 @@ def dedup_lines_global(
             ).cast("int")
         ),
     )
+    # lazy localCheckpoint (r6b): lines feeds BOTH the first-occurrence
+    # aggregate and the winner join-back — one explode materialization
+    # instead of two scan+split+explode evaluations. (The arg-min stays an
+    # AGGREGATE, not a window: a min().over(partition by line) would sort
+    # every occurrence of a hot line through one task — the skew this op
+    # is designed to avoid.)
+    lines = lines.localCheckpoint(eager=False)
     first = lines.groupBy("line").agg(F.min("okey").alias("first_key"))
     kept = (
         lines.join(first, "line")
