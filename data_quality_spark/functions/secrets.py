@@ -83,14 +83,33 @@ def secret_scan(
     b64, hx = candidate_cols(F.col(text_col))
     # materialize the arrays before the generator (no-CSE rule)
     base = df.select(*ids, b64.alias("_b64"), hx.alias("_hex"))
+    # ONE tagged generator over the concatenated candidate arrays (r6b:
+    # the old two-branch self-union ran the extraction scan once per
+    # branch), lazily checkpointed — the stream feeds both the distinct
+    # entropy dictionary and the per-row join
     occ = (
-        base.select(*ids, F.lit("b64").alias("cls"),
-                    F.explode_outer("_b64").alias("cand"))
-        .unionByName(
-            base.select(*ids, F.lit("hex").alias("cls"),
-                        F.explode_outer("_hex").alias("cand"))
+        base.select(
+            *ids,
+            F.explode_outer(
+                F.concat(
+                    F.transform(
+                        "_b64",
+                        lambda x: F.struct(
+                            F.lit("b64").alias("cls"), x.alias("cand")
+                        ),
+                    ),
+                    F.transform(
+                        "_hex",
+                        lambda x: F.struct(
+                            F.lit("hex").alias("cls"), x.alias("cand")
+                        ),
+                    ),
+                )
+            ).alias("_o"),
         )
+        .select(*ids, F.col("_o.cls").alias("cls"), F.col("_o.cand").alias("cand"))
         .filter(F.col("cand").isNotNull())
+        .localCheckpoint(eager=False)
     )
     ent = candidate_entropy(occ.select("cand").distinct())
     hit = (F.col("cls") == "b64") & (F.col("entropy") > b64_threshold) | (
