@@ -59,7 +59,7 @@ def _np_norms(A: "np.ndarray") -> "np.ndarray":
     return np.sqrt(nsq)
 
 
-def _np_cos_tile(At, nrm, i0, i1, j0, j1, _tmp=None):
+def _np_cos_tile(At, nrm, i0, i1, j0, j1):
     """Cosine tile over the TRANSPOSED (dim, m) C-ordered matrix (r6):
     row ``At[t]`` is contiguous, so the per-dimension outer product reads
     sequentially instead of gathering a stride-64 column — measured ~30%
@@ -289,8 +289,9 @@ def ivf_index_sampled(
     assign the whole corpus in ONE narrow Arrow pass against the broadcast
     centroids. The pyspark.ml fit paid ~2 distributed scans per Lloyd
     iteration plus the init pass in job scheduling alone; here the corpus
-    is scanned once for the count, ≤ once for the sample, and once for the
-    assignment. ivf_topk keeps the distributed fit (its recall gate
+    is scanned at most twice before the assignment pass (a limit-collect
+    that IS the whole input when it fits the cap; count + sample only for
+    a larger-than-cap corpus). ivf_topk keeps the distributed fit (its recall gate
     depends on centroid quality at corpus scale).
 
     Returns (assigned_df with 'ivf_cluster', centroids ndarray) — the
