@@ -267,6 +267,29 @@ def scrub_series(content: pd.Series) -> pd.Series:
     return out.astype(object)
 
 
+def scrub_series_sparse(content: pd.Series) -> pd.Series:
+    """scrub_series with a TRANSPORT optimization (r6b): rows whose
+    scrubbed output is byte-identical to the input come back as None, and
+    the Spark side coalesces with the original column — so only genuinely
+    modified rows cross the Arrow boundary on the return path (the scrub
+    output was the pipeline's largest return payload, ~the whole corpus).
+    Replacement semantics are UNTOUCHED: same mask, same frozen python-re
+    chain; the coalesce reinstates the exact input bytes the identity
+    chain would have returned. Equivalence property-tested against
+    scrub_series in tests/test_properties.py."""
+    src = content.astype("string").fillna("")
+    out = pd.Series([None] * len(src), index=src.index, dtype=object)
+    mask = _any_rule_mask(src)
+    if mask.any():
+        hit = src[mask]
+        orig = hit.copy()
+        for _name, pat, repl in SCRUB_RULES:
+            hit = hit.str.replace(pat, repl, regex=True)
+        changed_idx = hit.index[(hit != orig).fillna(False)]
+        out[changed_idx] = hit[changed_idx].astype(object)
+    return out
+
+
 def scrub_series_sequential(content: pd.Series) -> pd.Series:
     """Reference form: the plain 4-pass chain over every row (equivalence
     gate for the prefiltered fast path lives in tests)."""

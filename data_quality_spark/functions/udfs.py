@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import models as M
-from .scrub import scrub_series
+from .scrub import scrub_series_sparse
 
 _MODEL_FEATURES_TYPE = T.StructType(
     [
@@ -56,9 +56,13 @@ def make_model_features_udf():
 
 
 def make_scrub_udf():
+    """Sparse-return scrub (r6b): None for byte-identical rows — the
+    caller MUST coalesce with the original content column (score_files
+    does); only modified rows pay the Arrow return path."""
+
     @F.pandas_udf(T.StringType())
     def scrub(content: pd.Series) -> pd.Series:
-        return scrub_series(content)
+        return scrub_series_sparse(content)
 
     return scrub
 

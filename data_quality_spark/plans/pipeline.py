@@ -57,7 +57,13 @@ def score_files(files: DataFrame, content_col: str = "content") -> DataFrame:
     df = df.withColumn("_mf", model_features(F.col(content_col)))
     df = df.select("*", "_mf.*").drop("_mf")
     df = R.with_decision(df)
-    df = df.withColumn("scrubbed_content", scrub(F.col(content_col)))
+    # sparse-return scrub (r6b): the UDF returns None for byte-identical
+    # rows; the coalesce reinstates the exact original bytes, so only
+    # modified rows cross the Arrow return boundary
+    df = df.withColumn(
+        "scrubbed_content",
+        F.coalesce(scrub(F.col(content_col)), F.col(content_col)),
+    )
     df = df.withColumn(
         "was_modified", F.col("scrubbed_content") != F.col(content_col)
     )

@@ -72,6 +72,25 @@ def test_scrub_prefilter_equals_sequential(texts):
 
 @settings(max_examples=80, deadline=None)
 @given(st.lists(st.one_of(text_st, _scrubby_st), max_size=16))
+def test_scrub_sparse_coalesce_equals_full(texts):
+    """The sparse-return transport (None for byte-identical rows, caller
+    coalesces with the input) must reconstruct scrub_series exactly —
+    the r6b Arrow-return optimization is transport-only."""
+    from data_quality_spark.functions.scrub import scrub_series_sparse
+
+    s = pd.Series(texts, dtype=object)
+    full = scrub_series(s)
+    sparse = scrub_series_sparse(s)
+    src = s.astype("string").fillna("").astype(object)
+    coalesced = sparse.where(sparse.notna(), src)
+    assert (coalesced == full).all()
+    # and None is returned ONLY for byte-identical rows
+    assert (full[sparse.isna()] == src[sparse.isna()]).all()
+    assert (full[sparse.notna()] != src[sparse.notna()]).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.one_of(text_st, _scrubby_st), max_size=16))
 def test_re2_prefilter_superset(texts):
     """The RE2 candidate mask must be a SUPERSET of the exact python-re
     alternation on adversarial inputs — the identity-chain argument only
